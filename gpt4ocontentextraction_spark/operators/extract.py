@@ -1,0 +1,108 @@
+"""Spark wrapper for the extraction kernel: Arrow-native mapInArrow operator.
+
+Replaces the reference's per-page ThreadPoolExecutor fan-out + GPT-4o call
+(reference: docker/main.py:413-426, 566-611) with a single narrow Spark
+operator: no shuffle, no per-row Python. Each input row already carries a
+whole document's spans, so ``mapInArrow`` preserves document atomicity with
+zero data movement; parallelism is partitions × cores.
+
+Why mapInArrow and not mapInPandas: the input column is
+``array<struct<...>>``. Arrow can flatten a ListArray to its value
+StructArray (and rebuild it) in C without materializing Python objects;
+pandas would hand us a Series of list-of-dict. The kernel itself
+(operators/extract_kernel.py) is vectorized pandas/numpy over the flattened
+representation — the Arrow wrapper is pure plumbing.
+
+Plan shape (verified in tests/test_plans.py): parquet scan with ReadSchema
+pruned to (doc_id, spans) -> ArrowEvalPython/MapInArrow -> sink. No
+Exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+from ..schema import DOCUMENTS_DDL
+from .extract_kernel import extract_exploded
+
+import pandas as pd
+
+_OUT_SPAN_TYPE = pa.struct(
+    [
+        pa.field("kind", pa.string(), nullable=False),
+        pa.field("text", pa.string(), nullable=False),
+        pa.field("media_ref", pa.string(), nullable=False),
+        pa.field("offset", pa.int32(), nullable=False),
+    ]
+)
+_OUT_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("spans", pa.list_(_OUT_SPAN_TYPE), nullable=False),
+    ]
+)
+
+
+def _extract_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    doc_id = batch.column("doc_id")
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):  # pragma: no cover - defensive
+        spans = spans.combine_chunks()
+
+    n_docs = len(batch)
+    counts = pa.compute.list_value_length(spans).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    values = spans.flatten()  # StructArray, slice-aware
+    flat = pd.DataFrame(
+        {
+            "doc_idx": doc_idx,
+            "kind": values.field("kind").to_pandas().fillna(""),
+            "text": values.field("text").to_pandas().fillna(""),
+            "media_ref": values.field("media_ref").to_pandas().fillna(""),
+            "offset": values.field("offset").to_pandas().fillna(0).astype("int64"),
+        }
+    )
+
+    out = extract_exploded(flat)
+
+    out_counts = np.bincount(
+        out["doc_idx"].to_numpy(), minlength=n_docs
+    ).astype(np.int32)
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(out_counts, out=offsets[1:])
+
+    out_values = pa.StructArray.from_arrays(
+        [
+            pa.array(out["kind"], type=pa.string()),
+            pa.array(out["text"], type=pa.string()),
+            pa.array(out["media_ref"], type=pa.string()),
+            pa.array(out["offset"].to_numpy().astype(np.int32), type=pa.int32()),
+        ],
+        fields=list(_OUT_SPAN_TYPE),
+    )
+    out_spans = pa.ListArray.from_arrays(pa.array(offsets), out_values)
+    return pa.RecordBatch.from_arrays([doc_id, out_spans], schema=_OUT_SCHEMA)
+
+
+def _extract_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        if len(batch):
+            yield _extract_batch(batch)
+
+
+def extract(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> extracted(doc_id, spans).
+
+    Column-prunes the input before the UDF so parquet ReadSchema stays
+    minimal even if callers pass wider rows.
+    """
+    return documents.select("doc_id", "spans").mapInArrow(
+        _extract_iter, DOCUMENTS_DDL
+    )

@@ -1,0 +1,249 @@
+"""The extraction kernel: deterministic page->markdown span extraction.
+
+This is the rebuilt analog of the reference's core operator — sending a page
+image to GPT-4o vision with the prompt "Extract everything you see in this
+image to markdown. Convert all charts ... to markdown tables ..."
+(reference: docker/main.py:566-611 `extract_markdown_from_image`,
+doc2md_utils.py:180-205). The semantics preserved: *everything visible, in
+reading order, tables as Markdown pipes, charts referenced* — rebuilt as a
+fully deterministic, vectorized pandas/numpy kernel with NO model call and
+NO per-row Python in the hot path.
+
+The kernel operates on an EXPLODED span representation — one row per span,
+columns ``(doc_idx, kind, text, media_ref, offset)`` where ``doc_idx`` is a
+dense integer document index with all of a document's spans contiguous.
+The Spark wrapper (operators/extract.py) flattens the nested
+``array<struct>`` column to this shape Arrow-natively and rebuilds it after.
+
+Deterministic extraction semantics (total order, no ties — SURVEY.md §7
+"exact span-sequence equality forces ... total orders"):
+
+1. **Offset sort.** Spans are sorted by ``offset`` within each document
+   (input arrays are not guaranteed presorted — FIXTURES.md).
+2. **Page segmentation.** ``page_break`` spans split a document into pages;
+   a page_break belongs to (terminates) the page before it. Mirrors the
+   reference's per-page processing and ``||N||`` marker protocol
+   (docker/main.py:428-445).
+3. **Reading order.** Within a page, spans are stably re-ordered by
+   ``(column_rank, offset)`` with column_rank: other=0, column_left=1,
+   column_right=2 — i.e. full-width content first, then the left column in
+   full, then the right (FIXTURES.md `pdf_two_column`; x-coordinate column
+   clustering reduced to its decision: left column precedes right).
+4. **Boilerplate strip.** Spans with kind in {nav, footer, ad, script} are
+   dropped (tagged HTML chrome). Additionally, `text` spans are dropped when
+   (a) the text is blank after trimming, or (b) their *link density* — the
+   fraction of characters inside markdown links ``[label](url)`` — exceeds
+   0.5 (Boilerpipe/Readability-style block scoring on the one feature that
+   is computable without a DOM; see PAPERS.md. Kohlschütter et al.'s
+   densitometric classifier uses link density as its primary split).
+5. **Kind mapping.**
+   - heading1 -> ``heading`` with text prefixed ``"# "``;
+     heading2 -> ``heading`` with ``"## "`` (markdown headings, as the
+     vision model emits; consumed downstream by heading chunking —
+     docker/main.py:502-539).
+   - text / column_left / column_right -> ``text`` (column kinds are
+     layout, not content, once reading order is resolved).
+   - A maximal run of consecutive ``table_row`` spans (after steps 1-4)
+     becomes ONE ``table`` span: each row's cells (tab-separated in the
+     input text) render as ``| a | b |``; after the first (header) row a
+     ``| --- | --- |`` separator with the header's column count is
+     inserted. Mirrors chart/table -> pipe-table (docker/main.py:574-576).
+   - chart / figure -> ``media`` span: text preserved (caption),
+     ``media_ref`` carried through. This replaces the reference's
+     "numbers are approximate" chart transcription with an explicit,
+     lossless media reference.
+   - page_break -> ``page_break`` (text preserved).
+6. **Reindex.** Output offsets are 0..n-1 per document.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+BOILERPLATE_KINDS = ("nav", "footer", "ad", "script")
+LINK_RE = re.compile(r"\[[^\]]*\]\([^)]*\)")
+LINK_DENSITY_MAX = 0.5
+
+KERNEL_COLUMNS = ["doc_idx", "kind", "text", "media_ref", "offset"]
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_idx": pd.Series([], dtype="int64"),
+            "kind": pd.Series([], dtype="object"),
+            "text": pd.Series([], dtype="object"),
+            "media_ref": pd.Series([], dtype="object"),
+            "offset": pd.Series([], dtype="int32"),
+        }
+    )
+
+
+def link_density(texts: pd.Series) -> pd.Series:
+    """Fraction of characters inside markdown links, vectorized."""
+    total = texts.str.len().astype("int64")
+    stripped = texts.str.replace(LINK_RE, "", regex=True).str.len().astype("int64")
+    return (total - stripped) / total.clip(lower=1)
+
+
+def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
+    """Run the extraction kernel over exploded span rows.
+
+    ``flat`` columns: doc_idx (int, contiguous per doc), kind, text,
+    media_ref, offset. Returns the same columns with output spans and
+    reindexed offsets. Documents with zero surviving spans simply emit no
+    rows (the wrapper restores empty arrays for them).
+    """
+    if len(flat) == 0:
+        return _empty_out()
+
+    doc_idx = flat["doc_idx"].to_numpy()
+    offset = flat["offset"].to_numpy()
+    kind = flat["kind"].to_numpy()
+
+    # -- steps 1-3: one stable lexsort gives offset order, page segmentation
+    #    and reading order in a single pass.
+    order0 = np.lexsort((offset, doc_idx))  # offset within doc
+    doc_s = doc_idx[order0]
+    off_s = offset[order0]
+    kind_s = kind[order0]
+
+    is_pb = kind_s == "page_break"
+    # exclusive running count of page_breaks, reset per doc: the page index.
+    cs = np.cumsum(is_pb) - is_pb  # exclusive cumsum
+    doc_start = np.r_[True, doc_s[1:] != doc_s[:-1]]
+    base = np.maximum.accumulate(np.where(doc_start, cs, 0))
+    seg = cs - base
+    # a page_break terminates its page: it shares the seg of the spans
+    # before it (exclusive cumsum already gives that).
+
+    rank = np.zeros(len(kind_s), dtype=np.int8)
+    rank[kind_s == "column_left"] = 1
+    rank[kind_s == "column_right"] = 2
+    rank[is_pb] = 3  # page_break closes the page: after both columns
+
+    order1 = np.lexsort((off_s, rank, seg, doc_s))
+    df = pd.DataFrame(
+        {
+            "doc_idx": doc_s[order1],
+            "kind": kind_s[order1],
+            "text": flat["text"].to_numpy()[order0][order1],
+            "media_ref": flat["media_ref"].to_numpy()[order0][order1],
+        }
+    )
+
+    # -- step 4: boilerplate strip (tagged kinds + link-density on text).
+    k = df["kind"]
+    drop = k.isin(BOILERPLATE_KINDS)
+    is_text = k == "text"
+    if is_text.any():
+        txt = df.loc[is_text, "text"]
+        blank = txt.str.strip() == ""
+        dense = link_density(txt) > LINK_DENSITY_MAX
+        drop.loc[is_text] = (blank | dense).to_numpy()
+    df = df[~drop.to_numpy()]
+    if len(df) == 0:
+        return _empty_out()
+
+    # -- step 5: kind mapping + table run collapse.
+    k = df["kind"].to_numpy()
+    d = df["doc_idx"].to_numpy()
+    is_tr = k == "table_row"
+    prev_tr = np.r_[False, is_tr[:-1]]
+    same_doc = np.r_[False, d[1:] == d[:-1]]
+    run_start = is_tr & ~(prev_tr & same_doc)
+    # island id: each non-table_row span is its own island; a table_row run
+    # shares the island of its first row.
+    island = np.cumsum(run_start | ~is_tr) - 1
+    df = df.assign(_island=island, _is_tr=is_tr)
+
+    out_kind = np.select(
+        [
+            k == "heading1",
+            k == "heading2",
+            is_tr,
+            (k == "chart") | (k == "figure"),
+            k == "page_break",
+        ],
+        ["heading", "heading", "table", "media", "page_break"],
+        default="text",
+    )
+    out_text = df["text"].copy()
+    h1 = k == "heading1"
+    h2 = k == "heading2"
+    if h1.any():
+        out_text.loc[h1] = "# " + out_text.loc[h1]
+    if h2.any():
+        out_text.loc[h2] = "## " + out_text.loc[h2]
+    if is_tr.any():
+        rows = df.loc[is_tr, "text"]
+        out_text.loc[is_tr] = "| " + rows.str.replace("\t", " | ", regex=False) + " |"
+    out_media = np.where(out_kind == "media", df["media_ref"].to_numpy(), "")
+
+    df = df.assign(_okind=out_kind, _otext=out_text, _omedia=out_media)
+
+    if is_tr.any():
+        # collapse each table island: header line + separator + data lines.
+        tr = df[df["_is_tr"]]
+        ncols = tr["text"].str.count("\t").astype("int64") + 1
+        first = ~tr["_island"].duplicated()
+        sep = pd.Series(
+            np.where(
+                first,
+                ("| " + ncols.map(lambda n: " | ".join(["---"] * int(n))) + " |"),
+                "",
+            ),
+            index=tr.index,
+        )
+        line = np.where(first, tr["_otext"] + "\n" + sep, tr["_otext"])
+        tbl_text = (
+            pd.Series(line, index=tr.index)
+            .groupby(tr["_island"].to_numpy(), sort=False)
+            .agg("\n".join)
+        )
+        head = df.groupby("_island", sort=False).head(1).set_index("_island")
+        head.loc[tbl_text.index, "_otext"] = tbl_text
+        out = head.reset_index()
+    else:
+        out = df
+
+    # -- step 6: reindex offsets per document.
+    d2 = out["doc_idx"].to_numpy()
+    new_off = np.arange(len(out), dtype=np.int64)
+    starts = np.r_[True, d2[1:] != d2[:-1]]
+    new_off = new_off - np.maximum.accumulate(np.where(starts, new_off, 0))
+
+    return pd.DataFrame(
+        {
+            "doc_idx": d2,
+            "kind": out["_okind"].to_numpy(),
+            "text": out["_otext"].to_numpy(),
+            "media_ref": out["_omedia"].to_numpy(),
+            "offset": new_off.astype("int32"),
+        }
+    )
+
+
+def extract_document(spans: list[dict]) -> list[dict]:
+    """Convenience single-document wrapper (tests / documentation).
+
+    ``spans``: list of {kind, text, media_ref, offset}. Returns the output
+    span dicts in order.
+    """
+    if not spans:
+        return []
+    flat = pd.DataFrame(spans)
+    flat["doc_idx"] = 0
+    out = extract_exploded(flat[KERNEL_COLUMNS])
+    return [
+        {
+            "kind": r.kind,
+            "text": r.text,
+            "media_ref": r.media_ref,
+            "offset": int(r.offset),
+        }
+        for r in out.itertuples()
+    ]

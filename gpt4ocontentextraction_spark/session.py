@@ -1,0 +1,59 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Scale posture: these configs are what we would ship to a 1000-executor
+cluster (AQE on, skew join on, Arrow on, shuffle partitions sized
+explicitly); in the sandbox they run on local[N] where N is the
+parallelism under test (BASELINE.md two-level scaling measurement).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _export_package_path() -> None:
+    """Make this package importable in Spark's Python workers.
+
+    Local mode forks workers from the driver JVM's environment; on a real
+    cluster the same job ships the package via ``spark-submit --py-files``
+    (see bench.py / README). Without this, any driver not launched from the
+    repo root fails in the worker with ModuleNotFoundError.
+    """
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{current}" if current else pkg_parent
+        )
+
+
+def get_spark(
+    app_name: str = "gpt4ocontentextraction_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    _export_package_path()
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,142 @@
+"""Unit tests for the pure-pandas extraction kernel (no Spark)."""
+
+from __future__ import annotations
+
+from gpt4ocontentextraction_spark.operators.extract_kernel import (
+    extract_document,
+    link_density,
+)
+
+import pandas as pd
+
+
+def span(kind, text="", media_ref="", offset=0):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def out(kind, text="", media_ref="", offset=0):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def test_empty():
+    assert extract_document([]) == []
+
+
+def test_offset_sort_and_headings():
+    got = extract_document(
+        [
+            span("text", "body", offset=1),
+            span("heading1", "Title", offset=0),
+            span("heading2", "Sub", offset=2),
+        ]
+    )
+    assert got == [
+        out("heading", "# Title", offset=0),
+        out("text", "body", offset=1),
+        out("heading", "## Sub", offset=2),
+    ]
+
+
+def test_boilerplate_kinds_dropped():
+    got = extract_document(
+        [
+            span("nav", "menu", offset=0),
+            span("text", "keep me please", offset=1),
+            span("ad", "BUY", offset=2),
+            span("footer", "(c)", offset=3),
+            span("script", "var x", offset=4),
+        ]
+    )
+    assert got == [out("text", "keep me please", offset=0)]
+
+
+def test_link_density_drop():
+    dense = "[a](http://x) [b](http://y)"
+    sparse = "see [the docs](http://d) for much much more detail here"
+    got = extract_document(
+        [span("text", dense, offset=0), span("text", sparse, offset=1)]
+    )
+    assert got == [out("text", sparse, offset=0)]
+    ld = link_density(pd.Series([dense, sparse, "plain", ""]))
+    assert ld[0] > 0.9 and ld[1] < 0.5 and ld[2] == 0.0 and ld[3] == 0.0
+
+
+def test_blank_text_dropped():
+    got = extract_document([span("text", "  ", offset=0), span("text", "x y z", offset=1)])
+    assert got == [out("text", "x y z", offset=0)]
+
+
+def test_two_column_reading_order():
+    got = extract_document(
+        [
+            span("heading1", "T", offset=0),
+            span("column_left", "L1", offset=1),
+            span("column_right", "R1", offset=2),
+            span("column_left", "L2", offset=3),
+            span("column_right", "R2", offset=4),
+            span("page_break", "||1||", offset=5),
+            span("column_left", "P2L", offset=6),
+            span("column_right", "P2R", offset=7),
+        ]
+    )
+    assert [s["text"] for s in got] == [
+        "# T", "L1", "L2", "R1", "R2", "||1||", "P2L", "P2R",
+    ]
+    assert [s["offset"] for s in got] == list(range(8))
+
+
+def test_table_run_collapse():
+    got = extract_document(
+        [
+            span("table_row", "h1\th2", offset=0),
+            span("table_row", "a\tb", offset=1),
+            span("text", "between", offset=2),
+            span("table_row", "x\ty\tz", offset=3),
+        ]
+    )
+    assert got == [
+        out("table", "| h1 | h2 |\n| --- | --- |\n| a | b |", offset=0),
+        out("text", "between", offset=1),
+        out("table", "| x | y | z |\n| --- | --- | --- |", offset=2),
+    ]
+
+
+def test_table_merges_across_dropped_boilerplate():
+    got = extract_document(
+        [
+            span("table_row", "h", offset=0),
+            span("nav", "menu", offset=1),
+            span("table_row", "v", offset=2),
+        ]
+    )
+    assert got == [out("table", "| h |\n| --- |\n| v |", offset=0)]
+
+
+def test_media_spans():
+    got = extract_document(
+        [
+            span("chart", "Revenue", "media://d/0", offset=0),
+            span("figure", "", "media://d/1", offset=1),
+        ]
+    )
+    assert got == [
+        out("media", "Revenue", "media://d/0", offset=0),
+        out("media", "", "media://d/1", offset=1),
+    ]
+
+
+def test_multi_doc_batch_independence():
+    from gpt4ocontentextraction_spark.operators.extract_kernel import (
+        extract_exploded,
+    )
+
+    flat = pd.DataFrame(
+        [
+            {"doc_idx": 0, "kind": "table_row", "text": "a", "media_ref": "", "offset": 0},
+            {"doc_idx": 1, "kind": "table_row", "text": "b", "media_ref": "", "offset": 0},
+        ]
+    )
+    got = extract_exploded(flat)
+    # table runs must NOT merge across documents
+    assert list(got["doc_idx"]) == [0, 1]
+    assert list(got["kind"]) == ["table", "table"]
