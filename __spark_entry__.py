@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark) runs the flagship extraction pipeline on sf0.001;
+queries()/oracle_sql() pair every implemented operator (SURVEY.md §2)
+with a DuckDB-checkable relational equivalent. The registry lives in
+gpt4ocontentextraction_spark.driver_contract.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_worker_path() -> None:
+    cur = os.environ.get("PYTHONPATH", "")
+    if _REPO not in cur.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{cur}" if cur else _REPO
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spanify -> extraction kernel -> exploded output spans."""
+    _ensure_worker_path()
+    from gpt4ocontentextraction_spark.driver_contract import QUERIES
+
+    return QUERIES["extract_spans"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    _ensure_worker_path()
+    from gpt4ocontentextraction_spark.driver_contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gpt4ocontentextraction_spark.driver_contract import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,239 @@
+"""Query/oracle registry backing /root/repo/__spark_entry__.py.
+
+Every implemented operator from SURVEY.md §2 registers here as a pair:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` exercising the ENGINE
+code path, and a DuckDB oracle SQL string over the driver's pre-registered
+parquet views computing the same relation. Column names and types are
+aligned on both sides (ints -> BIGINT, floats -> DOUBLE rounded) because
+the driver hashes values per column name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracles
+from .functions import markers as mk
+from .operators.chunk import markdown_chunks, page_chunks
+from .operators.extract import extract
+from .operators.merge import merge_markdown
+from .spanify import SPANIFY_SQL, spanify, spanify_exploded
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _spans_out(df: DataFrame) -> DataFrame:
+    """Explode (doc_id, spans) to scalar rows for oracle comparison."""
+    return df.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bridge + extraction pipeline (SURVEY.md §2.2-2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spanify",
+    f'WITH {SPANIFY_SQL} SELECT doc_id, kind, text, media_ref,'
+    f' CAST("offset" AS BIGINT) AS offset FROM spanified',
+)
+def q_spanify(spark, sf_dir):
+    return spanify_exploded(_docs(spark, sf_dir)).withColumn(
+        "offset", F.col("offset").cast("long")
+    )
+
+
+@register(
+    "extract_spans",
+    f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text, media_ref,'
+    f' CAST("offset" AS BIGINT) AS offset FROM extracted',
+)
+def q_extract_spans(spark, sf_dir):
+    """THE core operator (M5): full extraction kernel, exploded."""
+    return _spans_out(extract(spanify(_docs(spark, sf_dir))))
+
+
+@register(
+    "merge_markdown",
+    f"WITH {oracles.MERGE_SQL} SELECT doc_id, merged_md FROM merged",
+)
+def q_merge(spark, sf_dir):
+    """A2: ordered merge of extracted spans into one markdown string."""
+    return merge_markdown(extract(spanify(_docs(spark, sf_dir))))
+
+
+@register(
+    "page_chunks",
+    f"WITH {oracles.PAGE_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
+    f" pg_number, file_name, title, content FROM page_chunks",
+)
+def q_page_chunks(spark, sf_dir):
+    """C2: one chunk per page."""
+    return page_chunks(extract(spanify(_docs(spark, sf_dir))))
+
+
+@register(
+    "markdown_chunks",
+    f"WITH {oracles.MD_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
+    f" pg_number, file_name, title, content FROM md_chunks",
+)
+def q_markdown_chunks(spark, sf_dir):
+    """C3: heading-section chunking, 8192/820 windows, title carry."""
+    return markdown_chunks(extract(spanify(_docs(spark, sf_dir))))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function family (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "page_markers",
+    f"WITH {oracles.MARKERS_SQL} SELECT doc_id, first_pg, last_pg,"
+    f" n_distinct_pgs, last_h1, without_pipes FROM markers",
+)
+def q_page_markers(spark, sf_dir):
+    """F1-F5: page-marker regex functions over merged markdown."""
+    merged = merge_markdown(extract(spanify(_docs(spark, sf_dir))))
+    c = F.col("merged_md")
+    return merged.select(
+        "doc_id",
+        mk.find_first_page_number(c).alias("first_pg"),
+        mk.find_page_number(c).alias("last_pg"),
+        F.size(mk.find_all_page_numbers(c)).cast("long").alias("n_distinct_pgs"),
+        F.coalesce(mk.find_last_heading_level_1(c), F.lit("")).alias("last_h1"),
+        mk.remove_between_pipes(c).alias("without_pipes"),
+    )
+
+
+@register(
+    "string_functions",
+    f"""
+WITH cited AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'see [' || source || '] and [' || lang || '] refs' AS content,
+         source, lang
+  FROM documents
+)
+SELECT doc_id,
+       base64(encode(source)) AS b64_source,
+       regexp_extract_all(content, '\\[([^\\]]+)\\]', 1)[1] AS cite1,
+       regexp_extract_all(content, '\\[([^\\]]+)\\]', 1)[2] AS cite2
+FROM cited
+""",
+)
+def q_string_functions(spark, sf_dir):
+    """F6 extract_citations + F8 base64 over synthetic citation markup."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("see ["), "source", F.lit("] and ["), "lang", F.lit("] refs")
+        ).alias("content"),
+        "source",
+    )
+    cites = mk.extract_citations(F.col("content"))
+    return d.select(
+        "doc_id",
+        mk.encode_base64(F.col("source")).alias("b64_source"),
+        F.element_at(cites, 1).alias("cite1"),
+        F.element_at(cites, 2).alias("cite2"),
+    )
+
+
+@register(
+    "parse_doc_id",
+    """
+WITH ids AS (
+  SELECT 'job-' || CAST(doc_id AS VARCHAR) || '-' || CAST(doc_id % 7 AS VARCHAR)
+         || '-' || CAST(doc_id % 13 AS VARCHAR) AS chunk_key
+  FROM documents
+)
+SELECT chunk_key,
+  array_to_string(
+    (string_split(chunk_key, '-'))[1 : len(string_split(chunk_key, '-')) - 2],
+    '-') AS base_id,
+  string_split(chunk_key, '-')[-2] AS chunk_id,
+  string_split(chunk_key, '-')[-1] AS pg
+FROM ids
+""",
+)
+def q_parse_doc_id(spark, sf_dir):
+    """F7: rsplit('-', 2) doc-id parsing (docker/main.py:960-974)."""
+    d = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("job-"),
+            F.col("doc_id").cast("string"),
+            F.lit("-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("-"),
+            (F.col("doc_id") % 13).cast("string"),
+        ).alias("chunk_key")
+    )
+    return d.select("chunk_key", *mk.parse_doc_id(F.col("chunk_key")))
+
+
+# ---------------------------------------------------------------------------
+# Resume anti-join (M6) + point lookup (S10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "resume_pending",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars
+FROM documents
+WHERE doc_id % 10 >= 3
+""",
+)
+def q_resume_pending(spark, sf_dir):
+    """M6: left-anti join of input docs against the committed snapshot
+    (stand-in committed set: doc_id % 10 < 3); broadcast the done-set."""
+    d = _docs(spark, sf_dir)
+    done = d.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    return (
+        d.join(F.broadcast(done), "doc_id", "left_anti")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+    )
+
+
+@register(
+    "point_lookup",
+    "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source, n_chars"
+    " FROM documents WHERE doc_id = 42",
+)
+def q_point_lookup(spark, sf_dir):
+    """S10: fetch one document by key (filter pushed to parquet scan)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == 42)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )

@@ -1,0 +1,209 @@
+"""DuckDB oracle SQL for the extraction pipeline.
+
+Each constant here is the RELATIONAL SPEC of an engine operator, written
+for DuckDB over the driver's pre-registered parquet views. The driver runs
+the engine's Spark query and this SQL side-by-side and compares row
+multisets — so these strings are the executable definition of the kernel
+semantics in operators/extract_kernel.py (same numbered steps).
+"""
+
+from __future__ import annotations
+
+from .spanify import SPANIFY_SQL
+
+# Steps 1-3 of the kernel: offset sort, page segmentation (exclusive running
+# count of page_breaks), reading-order rank (other=0, left=1, right=2,
+# page_break=3), one resolved sequence number per span.
+RESOLVED_SQL = f"""
+{SPANIFY_SQL},
+paged AS (
+  SELECT *,
+    COALESCE(SUM(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page,
+    CASE kind WHEN 'column_left' THEN 1 WHEN 'column_right' THEN 2
+              WHEN 'page_break' THEN 3 ELSE 0 END AS crank
+  FROM spanified
+),
+resolved AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY page, crank, "offset") AS rn
+  FROM paged
+)
+"""
+
+# Step 4: boilerplate strip — tagged kinds, blank text, link density > 0.5.
+KEPT_SQL = f"""
+{RESOLVED_SQL},
+kept AS (
+  SELECT * FROM resolved
+  WHERE kind NOT IN ('nav', 'footer', 'ad', 'script')
+    AND NOT (kind = 'text' AND (
+      trim(text) = ''
+      OR (length(text)
+          - length(regexp_replace(text, '\\[[^\\]]*\\]\\([^)]*\\)', '', 'g')))
+         > 0.5 * greatest(length(text), 1)))
+)
+"""
+
+# Steps 5-6: table-run islands (gaps-and-islands over the resolved order),
+# pipe-table rendering with header separator, kind mapping, offset reindex.
+EXTRACT_SQL = f"""
+{KEPT_SQL},
+lagged AS (
+  SELECT *,
+    CASE WHEN kind <> 'table_row'
+          OR COALESCE(LAG(kind) OVER (PARTITION BY doc_id ORDER BY rn), '?')
+             <> 'table_row'
+     THEN 1 ELSE 0 END AS new_island
+  FROM kept
+),
+islanded AS (
+  SELECT *,
+    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY rn) AS island
+  FROM lagged
+),
+pieces AS (
+  SELECT *,
+    CASE WHEN kind = 'table_row' THEN
+      '| ' || replace(text, chr(9), ' | ') || ' |'
+      || CASE WHEN ROW_NUMBER() OVER (PARTITION BY doc_id, island ORDER BY rn) = 1
+         THEN chr(10) || '| ' ||
+              array_to_string(list_transform(range(len(string_split(text, chr(9)))),
+                                             x -> '---'), ' | ')
+              || ' |'
+         ELSE '' END
+    ELSE text END AS piece
+  FROM islanded
+),
+collapsed AS (
+  SELECT doc_id, island,
+    MIN(rn) AS rn0,
+    arg_min(kind, rn) AS kind0,
+    arg_min(text, rn) AS text0,
+    arg_min(media_ref, rn) AS media0,
+    string_agg(piece, chr(10) ORDER BY rn) AS agg_text
+  FROM pieces
+  GROUP BY doc_id, island
+),
+extracted AS (
+  SELECT
+    doc_id,
+    CASE WHEN kind0 IN ('heading1', 'heading2') THEN 'heading'
+         WHEN kind0 = 'table_row' THEN 'table'
+         WHEN kind0 IN ('chart', 'figure') THEN 'media'
+         WHEN kind0 = 'page_break' THEN 'page_break'
+         ELSE 'text' END AS kind,
+    CASE WHEN kind0 = 'heading1' THEN '# ' || text0
+         WHEN kind0 = 'heading2' THEN '## ' || text0
+         WHEN kind0 = 'table_row' THEN agg_text
+         ELSE text0 END AS text,
+    CASE WHEN kind0 IN ('chart', 'figure') THEN media0 ELSE '' END AS media_ref,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rn0) - 1 AS INTEGER)
+      AS "offset"
+  FROM collapsed
+)
+"""
+
+# A2: ordered merge — spans joined by newline in offset order.
+MERGE_SQL = f"""
+{EXTRACT_SQL},
+merged AS (
+  SELECT doc_id, string_agg(text, chr(10) ORDER BY "offset") AS merged_md
+  FROM extracted GROUP BY doc_id
+)
+"""
+
+# C2: page chunking (vectorize_by_page, docker/main.py:479-500).
+PAGE_CHUNKS_SQL = f"""
+{EXTRACT_SQL},
+pc_paged AS (
+  SELECT *,
+    COALESCE(SUM(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page
+  FROM extracted
+),
+page_chunks AS (
+  SELECT
+    doc_id || '-' || CAST(page + 1 AS VARCHAR) AS chunk_doc_id,
+    CAST(page + 1 AS BIGINT)                   AS chunk_id,
+    CAST(page + 1 AS BIGINT)                   AS pg_number,
+    doc_id                                     AS file_name,
+    CAST(NULL AS VARCHAR)                      AS title,
+    '||' || CAST(page + 1 AS VARCHAR) || '||' || chr(10)
+      || string_agg(text, chr(10) ORDER BY "offset") AS content
+  FROM pc_paged
+  WHERE kind <> 'page_break'
+  GROUP BY doc_id, page
+)
+"""
+
+# C3: markdown-heading chunking with 8192/820 windows and title carry
+# (vectorize_by_markdown, docker/main.py:502-539).
+MD_CHUNKS_SQL = f"""
+{EXTRACT_SQL},
+mc_paged AS (
+  SELECT *,
+    COALESCE(SUM(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page,
+    SUM(CASE WHEN kind = 'heading' AND text LIKE '# %' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sec
+  FROM extracted
+),
+sections AS (
+  SELECT doc_id, sec,
+    string_agg(text, chr(10) ORDER BY "offset") AS content,
+    max(CASE WHEN kind = 'heading' AND text LIKE '# %' THEN text END) AS title,
+    min(page) AS page0
+  FROM mc_paged GROUP BY doc_id, sec
+),
+md_ranges AS (
+  SELECT doc_id, sec, title, page0,
+    UNNEST(range(greatest(1,
+      CAST(ceil((length(content) - 820) / 7372.0) AS BIGINT)))) AS k,
+    content AS full_content
+  FROM sections
+),
+md_pieces AS (
+  SELECT doc_id, sec, title, page0, k,
+    substr(full_content, CAST(k * 7372 + 1 AS BIGINT), 8192) AS content
+  FROM md_ranges
+),
+md_chunks AS (
+  SELECT
+    doc_id || '-' || CAST(ROW_NUMBER() OVER
+      (PARTITION BY doc_id ORDER BY sec, k) - 1 AS VARCHAR) AS chunk_doc_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sec, k) - 1 AS BIGINT)
+      AS chunk_id,
+    CAST(page0 + 1 AS BIGINT) AS pg_number,
+    doc_id AS file_name,
+    title,
+    content
+  FROM md_pieces
+)
+"""
+
+# F1-F5 page-marker functions over the merged markdown.
+MARKERS_SQL = f"""
+{MERGE_SQL},
+markers AS (
+  SELECT doc_id,
+    COALESCE(TRY_CAST(NULLIF(regexp_extract(merged_md, '\\|\\|(\\d+)\\|\\|', 1), '')
+             AS BIGINT), 0) AS first_pg,
+    COALESCE(TRY_CAST(
+      (regexp_extract_all(merged_md, '\\|\\|(\\d+)\\|\\|', 1))[-1] AS BIGINT), 0)
+      AS last_pg,
+    CAST(len(list_distinct(regexp_extract_all(merged_md, '\\|\\|(\\d+)\\|\\|', 1)))
+      AS BIGINT) AS n_distinct_pgs,
+    COALESCE(list_filter(string_split(merged_md, chr(10)),
+                         x -> x LIKE '# %')[-1], '') AS last_h1,
+    COALESCE(array_to_string(list_filter(string_split(merged_md, chr(10)),
+                                         x -> NOT x LIKE '||%'), chr(10)), '')
+      AS without_pipes
+  FROM merged
+)
+"""
+

@@ -1,0 +1,99 @@
+"""Replicates the driver's correctness gate locally: run every queries()
+entry on Spark and its oracle_sql() in DuckDB at sf0.001 (fast) and compare
+row multisets exactly. sf0.01 is exercised in the same way by the driver."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        tuple(_canon(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return c
+
+
+def _entry_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_all_queries_match_oracles(spark, con):
+    mod = _entry_module()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert qs, "no queries registered"
+    failures = []
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, SF_DIR)
+        spark_cols = df.columns
+        spark_rows = [tuple(r) for r in df.collect()]
+        if name not in oracles:
+            assert len(spark_rows) >= 0  # rows-only check
+            continue
+        rel = con.sql(oracles[name])
+        duck_cols = rel.columns
+        duck_rows = rel.fetchall()
+        if sorted(spark_cols) != sorted(duck_cols):
+            failures.append(f"{name}: columns {spark_cols} vs {duck_cols}")
+            continue
+        g = _rows_to_multiset(
+            [tuple(r[c] for c in spark_cols) for r in df.collect()],
+            spark_cols,
+        )
+        w = _rows_to_multiset(
+            [dict(zip(duck_cols, r)) and tuple(r) for r in duck_rows],
+            duck_cols,
+        )
+        # reorder duck rows to spark column name order for hashing parity
+        duck_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+        if g != w:
+            n_bad = sum(1 for a, b in zip(g, w) if a != b)
+            sample = next(((a, b) for a, b in zip(g, w) if a != b), None)
+            failures.append(
+                f"{name}: rows spark={len(g)} duck={len(w)}"
+                f" mismatches~{n_bad} sample={sample!r}"
+            )
+    assert not failures, "\n".join(failures)
+
+
+def test_entry_smoke(spark):
+    mod = _entry_module()
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "kind", "text", "media_ref", "offset"]
