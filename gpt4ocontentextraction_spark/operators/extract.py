@@ -60,13 +60,22 @@ def _extract_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
     values = spans.flatten()  # StructArray, slice-aware
+
+    def _str_col(name: str) -> pd.Series:
+        arr = values.field(name)
+        s = arr.to_pandas()
+        return s.fillna("") if arr.null_count else s
+
+    off = values.field("offset")
+    if off.null_count:
+        off = off.fill_null(0)
     flat = pd.DataFrame(
         {
             "doc_idx": doc_idx,
-            "kind": values.field("kind").to_pandas().fillna(""),
-            "text": values.field("text").to_pandas().fillna(""),
-            "media_ref": values.field("media_ref").to_pandas().fillna(""),
-            "offset": values.field("offset").to_pandas().fillna(0).astype("int64"),
+            "kind": _str_col("kind"),
+            "text": _str_col("text"),
+            "media_ref": _str_col("media_ref"),
+            "offset": off.to_numpy(zero_copy_only=False).astype("int64"),
         }
     )
 

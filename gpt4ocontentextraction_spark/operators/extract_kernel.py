@@ -83,10 +83,19 @@ def _empty_out() -> pd.DataFrame:
 
 
 def link_density(texts: pd.Series) -> pd.Series:
-    """Fraction of characters inside markdown links, vectorized."""
-    total = texts.str.len().astype("int64")
-    stripped = texts.str.replace(LINK_RE, "", regex=True).str.len().astype("int64")
-    return (total - stripped) / total.clip(lower=1)
+    """Fraction of characters inside markdown links, vectorized.
+
+    The regex only runs on spans that contain '[' at all — markdown links
+    are rare in real content blocks, so this removes the dominant per-span
+    regex cost from the hot path."""
+    out = pd.Series(0.0, index=texts.index)
+    has_bracket = texts.str.contains("[", regex=False)
+    if has_bracket.any():
+        sub = texts[has_bracket]
+        total = sub.str.len().astype("int64")
+        stripped = sub.str.replace(LINK_RE, "", regex=True).str.len().astype("int64")
+        out.loc[has_bracket] = (total - stripped) / total.clip(lower=1)
+    return out
 
 
 def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
@@ -183,32 +192,55 @@ def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
         out_text.loc[is_tr] = "| " + rows.str.replace("\t", " | ", regex=False) + " |"
     out_media = np.where(out_kind == "media", df["media_ref"].to_numpy(), "")
 
-    df = df.assign(_okind=out_kind, _otext=out_text, _omedia=out_media)
+    # islands are contiguous runs in the resolved order, so collapsing is
+    # first-occurrence masking + slice-joins — no pandas groupby (which costs
+    # ~1s/360k spans in per-group Python overhead).
+    isl = df["_island"].to_numpy()
+    first_mask = np.r_[True, isl[1:] != isl[:-1]]
 
     if is_tr.any():
-        # collapse each table island: header line + separator + data lines.
-        tr = df[df["_is_tr"]]
-        ncols = tr["text"].str.count("\t").astype("int64") + 1
-        first = ~tr["_island"].duplicated()
-        sep = pd.Series(
-            np.where(
-                first,
-                ("| " + ncols.map(lambda n: " | ".join(["---"] * int(n))) + " |"),
-                "",
-            ),
-            index=tr.index,
+        tr_mask = is_tr
+        tr_lines = out_text.to_numpy()[tr_mask]
+        tr_isl = isl[tr_mask]
+        tr_first = np.r_[True, tr_isl[1:] != tr_isl[:-1]]
+        # header separator under the first row of each island
+        ncols = (
+            pd.Series(df["text"].to_numpy()[tr_mask]).str.count("\t").to_numpy()
+            + 1
         )
-        line = np.where(first, tr["_otext"] + "\n" + sep, tr["_otext"])
-        tbl_text = (
-            pd.Series(line, index=tr.index)
-            .groupby(tr["_island"].to_numpy(), sort=False)
-            .agg("\n".join)
+        starts = np.flatnonzero(tr_first)
+        seps = [
+            "| " + " | ".join(["---"] * int(n)) + " |" for n in ncols[starts]
+        ]
+        tr_lines = tr_lines.astype(object)
+        tr_lines[starts] = [
+            a + "\n" + b for a, b in zip(tr_lines[starts], seps)
+        ]
+        bounds = np.r_[starts, len(tr_lines)]
+        joined = [
+            "\n".join(tr_lines[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        # place joined table text on the first row of each table island
+        otext = out_text.to_numpy().astype(object)
+        tbl_first_pos = np.flatnonzero(tr_mask)[starts]
+        otext[tbl_first_pos] = joined
+        out = pd.DataFrame(
+            {
+                "doc_idx": df["doc_idx"].to_numpy()[first_mask],
+                "_okind": out_kind[first_mask],
+                "_otext": otext[first_mask],
+                "_omedia": out_media[first_mask],
+            }
         )
-        head = df.groupby("_island", sort=False).head(1).set_index("_island")
-        head.loc[tbl_text.index, "_otext"] = tbl_text
-        out = head.reset_index()
     else:
-        out = df
+        out = pd.DataFrame(
+            {
+                "doc_idx": df["doc_idx"].to_numpy()[first_mask],
+                "_okind": out_kind[first_mask],
+                "_otext": out_text.to_numpy()[first_mask],
+                "_omedia": out_media[first_mask],
+            }
+        )
 
     # -- step 6: reindex offsets per document.
     d2 = out["doc_idx"].to_numpy()

@@ -50,27 +50,33 @@ KIND_CYCLE = (
 
 _KINDS_ARRAY_SQL = "array(" + ", ".join(f"'{k}'" for k in KIND_CYCLE) + ")"
 
+# The outer single-element transform binds ws = split(text) ONCE per row.
+# Without it, Catalyst's project collapsing re-inlines split() into every
+# use inside the inner lambda, making span generation O(words x spans)
+# per document (measured 125s -> ~2s on the heavy bench input).
 _SPANS_EXPR = f"""
-transform(
-  sequence(0, int(ceil(size(split(text, ' ')) / 6.0)) - 1),
-  i -> named_struct(
-    'kind', element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1),
-    'text',
-      CASE WHEN element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1) = 'page_break'
-           THEN concat('||', cast(i as string), '||')
-           WHEN element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1) = 'table_row'
-           THEN array_join(slice(split(text, ' '), i * 6 + 1, 6), '\t')
-           ELSE array_join(slice(split(text, ' '), i * 6 + 1, 6), ' ')
-      END,
-    'media_ref',
-      CASE WHEN element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1)
-                IN ('chart', 'figure')
-           THEN concat('media://', cast(doc_id as string), '/', cast(i as string))
-           ELSE ''
-      END,
-    'offset', int(i)
+element_at(transform(array(split(text, ' ')), ws ->
+  transform(
+    sequence(0, int(ceil(size(ws) / 6.0)) - 1),
+    i -> named_struct(
+      'kind', element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1),
+      'text',
+        CASE WHEN element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1) = 'page_break'
+             THEN concat('||', cast(i as string), '||')
+             WHEN element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1) = 'table_row'
+             THEN array_join(slice(ws, i * 6 + 1, 6), '\t')
+             ELSE array_join(slice(ws, i * 6 + 1, 6), ' ')
+        END,
+      'media_ref',
+        CASE WHEN element_at({_KINDS_ARRAY_SQL}, int((i + doc_id) % 16) + 1)
+                  IN ('chart', 'figure')
+             THEN concat('media://', cast(doc_id as string), '/', cast(i as string))
+             ELSE ''
+        END,
+      'offset', int(i)
+    )
   )
-)
+), 1)
 """
 
 
