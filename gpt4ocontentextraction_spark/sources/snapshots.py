@@ -1,0 +1,178 @@
+"""Snapshot-committed table: atomic appends + resume + lineage metrics.
+
+The reference checkpoints by writing ``status.json`` to blob storage after
+every pipeline stage (docker/main.py:253-257) and resumes by skipping pages
+whose output file exists (doc2md_utils.py:212-217). The Spark-native
+equivalent is a table format with atomic commit snapshots — Iceberg in
+production. The Iceberg runtime jar is not in this sandbox, so this module
+implements the same contract on plain parquet:
+
+- data files land in ``{root}/data/{commit_id}/`` (invisible until committed)
+- a commit atomically publishes a new manifest version
+  ``{root}/_manifest/v{N}.json`` (write-temp + rename) listing all committed
+  commit dirs — readers resolve the highest version, so a crashed writer
+  leaves no partial state visible (snapshot isolation)
+- each commit also writes per-partition lineage + extraction metrics to
+  ``{root}/_metrics/{commit_id}.parquet`` (north_rule: "per-partition
+  lineage and extraction metrics ... alongside commit snapshots")
+- resume = left-anti join of the input against committed doc_ids
+  (broadcast when small), so re-running after an interrupt processes only
+  missing documents and never duplicates (M6).
+
+Write granularity is the document (one row), so a failed partition never
+commits partial documents (SURVEY.md §7 hard point 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifest")
+        self.metrics_dir = os.path.join(root, "_metrics")
+        for d in (self.data_dir, self.manifest_dir, self.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def committed_dirs(self) -> list[str]:
+        v = self.current_version()
+        if v == 0:
+            return []
+        with open(os.path.join(self.manifest_dir, f"v{v}.json")) as f:
+            manifest = json.load(f)
+        return [os.path.join(self.data_dir, c) for c in manifest["commits"]]
+
+    def _publish(self, new_commit: str, meta: dict) -> int:
+        v = self.current_version()
+        commits = []
+        if v:
+            with open(os.path.join(self.manifest_dir, f"v{v}.json")) as f:
+                commits = json.load(f)["commits"]
+        manifest = {
+            "version": v + 1,
+            "commits": commits + [new_commit],
+            "commit_meta": meta,
+        }
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self.manifest_dir, f"v{v + 1}.json"))
+        return v + 1
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        dirs = self.committed_dirs()
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
+        df = self.read(spark)
+        return None if df is None else df.select("doc_id").distinct()
+
+    def pending(self, input_df: DataFrame, spark: SparkSession) -> DataFrame:
+        """Resume anti-join: input docs not yet committed (M6)."""
+        done = self.committed_doc_ids(spark)
+        if done is None:
+            return input_df
+        return input_df.join(F.broadcast(done), "doc_id", "left_anti")
+
+    # -- write path --------------------------------------------------------
+
+    def append(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        run_id: str | None = None,
+    ) -> str:
+        """Write df + per-partition metrics, then atomically commit.
+
+        The metrics aggregation shares the scan with the data write via
+        a localCheckpoint-free design: we write data first (uncommitted),
+        then derive metrics FROM THE WRITTEN FILES — so metrics describe
+        exactly what was committed, not what was planned.
+        """
+        run_id = run_id or uuid.uuid4().hex
+        commit_id = f"c-{run_id}"
+        out = os.path.join(self.data_dir, commit_id)
+        df.write.mode("errorifexists").parquet(out)
+
+        written = spark.read.parquet(out)
+        metrics = (
+            written.select(
+                F.lit(run_id).alias("run_id"),
+                F.spark_partition_id().alias("partition_id"),
+                F.col("doc_id"),
+                F.size("spans").alias("n_spans"),
+                F.size(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("table"))
+                ).alias("n_tables"),
+                F.size(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+                ).alias("n_media"),
+            )
+            .groupBy("run_id", "partition_id")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_spans").alias("n_spans_out"),
+                F.sum("n_tables").alias("n_tables_built"),
+                F.sum("n_media").alias("n_media_emitted"),
+            )
+        )
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(self.metrics_dir, commit_id)
+        )
+        n_docs = written.count()
+        self._publish(commit_id, {"run_id": run_id, "n_docs": n_docs})
+        return commit_id
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        dirs = [
+            os.path.join(self.metrics_dir, c)
+            for c in (os.path.basename(d) for d in self.committed_dirs())
+        ]
+        dirs = [d for d in dirs if os.path.exists(d)]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+
+def run_resumable_extraction(
+    spark: SparkSession,
+    documents: DataFrame,
+    table: SnapshotTable,
+    run_id: str | None = None,
+) -> str | None:
+    """One checkpoint-resumable extraction increment: pending docs ->
+    extract -> atomic append. Returns the commit id (None if up to date)."""
+    from ..operators.extract import extract
+
+    todo = table.pending(documents, spark)
+    if not todo.take(1):
+        return None
+    return table.append(extract(todo), spark, run_id=run_id)

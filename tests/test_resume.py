@@ -1,0 +1,79 @@
+"""Resume semantics: interrupt after a partial commit, re-run, and the final
+table equals a clean full run with no duplicates (reference skip-if-exists,
+doc2md_utils.py:212-217; north_rule checkpoint-resumable requirement)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gpt4ocontentextraction_spark.fixtures import corpus_to_spark, make_corpus
+from gpt4ocontentextraction_spark.operators.extract import extract
+from gpt4ocontentextraction_spark.sources.snapshots import (
+    SnapshotTable,
+    run_resumable_extraction,
+)
+
+
+def _spans_set(df):
+    return {
+        (r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in r["spans"]))
+        for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def docs(spark):
+    pdf, _ = make_corpus(seed=11, docs_per_class=3, include_giant=False)
+    return corpus_to_spark(spark, pdf)
+
+
+def test_partial_commit_then_resume(spark, docs, tmp_path):
+    table = SnapshotTable(str(tmp_path / "out"))
+
+    # simulate an interrupted first run: only half the docs got committed
+    half = docs.limit(docs.count() // 2)
+    c1 = table.append(extract(half), spark, run_id="run1")
+    assert c1 and table.current_version() == 1
+
+    # resume: second run only processes the missing docs
+    pending = table.pending(docs, spark)
+    assert pending.count() == docs.count() - half.count()
+    c2 = run_resumable_extraction(spark, docs, table, run_id="run2")
+    assert c2 and table.current_version() == 2
+
+    # third run: nothing to do, no new commit
+    assert run_resumable_extraction(spark, docs, table, run_id="run3") is None
+    assert table.current_version() == 2
+
+    # final table == clean full run, no duplicates
+    final = table.read(spark)
+    assert final.count() == docs.count()
+    assert final.select("doc_id").distinct().count() == docs.count()
+    assert _spans_set(final) == _spans_set(extract(docs))
+
+
+def test_uncommitted_data_is_invisible(spark, docs, tmp_path):
+    import os
+
+    table = SnapshotTable(str(tmp_path / "out"))
+    # a crashed writer: data dir exists but no manifest was published
+    extract(docs).write.parquet(os.path.join(table.data_dir, "c-crashed"))
+    assert table.read(spark) is None
+    assert table.pending(docs, spark).count() == docs.count()
+
+
+def test_metrics_written_per_partition(spark, docs, tmp_path):
+    table = SnapshotTable(str(tmp_path / "out"))
+    table.append(extract(docs), spark, run_id="m1")
+    m = table.metrics(spark)
+    assert m is not None
+    rows = m.collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    cols = set(m.columns)
+    assert {"run_id", "partition_id", "n_docs", "n_spans_out",
+            "n_tables_built", "n_media_emitted"} <= cols
+    # lineage sanity: table/media counts match the actual output
+    out = extract(docs).collect()
+    n_tables = sum(1 for r in out for s in r["spans"] if s["kind"] == "table")
+    assert sum(r["n_tables_built"] for r in rows) == n_tables
