@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from . import oracles
 from .functions import markers as mk
+from .operators import dedup, embed, retrieval, textstats
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators.merge import merge_markdown
@@ -218,6 +219,107 @@ def q_resume_pending(spark, sf_dir):
         d.join(F.broadcast(done), "doc_id", "left_anti")
         .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+@register("exact_dedup", dedup.EXACT_DEDUP_SQL)
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via hash groupBy on a normalization key."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register("minhash_lsh", dedup.MINHASH_LSH_SQL)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: banded candidates, exact-Jaccard verified.
+    Oracle computes exact all-pairs Jaccard; equality proves LSH recall=1
+    on this corpus at the 0.6 threshold."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register("simhash_fingerprints", dedup.SIMHASH_FP_SQL)
+def q_simhash(spark, sf_dir):
+    """SimHash 32-bit fingerprints (bit-exact vs the oracle)."""
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register("simhash_pairs", dedup.SIMHASH_PAIRS_SQL)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hamming <= 8, bounded id range."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register("ngram_jaccard", dedup.NGRAM_JACCARD_SQL)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-shingle Jaccard over a bounded all-pairs block."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+@register("lang_id", textstats.LANG_ID_SQL)
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID (argmax score, ties -> lang asc)."""
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+@register("quality_score", textstats.QUALITY_SQL)
+def q_quality(spark, sf_dir):
+    """Length/stopword/word-length quality features + blended score."""
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+@register("token_counts", textstats.TOKEN_COUNTS_SQL)
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts (F10)."""
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+@register("fingerprints", textstats.FINGERPRINTS_SQL)
+def q_fingerprints(spark, sf_dir):
+    """Rolling-hash 8-gram document fingerprints."""
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+@register("embed_deterministic", embed.EMBED_SQL)
+def q_embed(spark, sf_dir):
+    """M8: deterministic hash embedding, exploded to (doc_id, dim, val)."""
+    return embed.embed_exploded(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / similarity search (§2.6 + ANN)
+# ---------------------------------------------------------------------------
+
+
+@register("cosine_topk", retrieval.COSINE_TOPK_SQL)
+def q_cosine_topk(spark, sf_dir):
+    """Q1: brute-force cosine top-10 against vec_id=0."""
+    return retrieval.cosine_topk(spark, sf_dir)
+
+
+@register("ivf_topk", retrieval.IVF_TOPK_SQL)
+def q_ivf_topk(spark, sf_dir):
+    """ANN scale path: IVF coarse-bucketed cosine top-5."""
+    return retrieval.ivf_topk(spark, sf_dir)
+
+
+@register("embedding_neardup", retrieval.EMBEDDING_NEARDUP_SQL)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.8, bounded block)."""
+    return retrieval.embedding_neardup_pairs(spark, sf_dir)
+
+
+@register("keyword_topk", retrieval.KEYWORD_TOPK_SQL)
+def q_keyword_topk(spark, sf_dir):
+    """Q2: exact term-hit keyword top-5."""
+    return retrieval.keyword_topk(_docs(spark, sf_dir))
 
 
 @register(

@@ -1,0 +1,197 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting (training-data pipeline family; F10 token counting
+mirrors the reference's tiktoken import at docker/main.py:32 — whose
+splitter is actually character-based, see SURVEY.md F10).
+
+All JVM-side Spark expressions with bit-exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD, duck_polyhash_over_array
+
+# marker-word lists per language (n-gram/stopword heuristic; deterministic
+# over the synthetic corpus — real lists would come from fastText/CLD data)
+LANG_MARKERS = {
+    "de": ("der", "fast", "table", "und"),
+    "en": ("the", "a", "key", "row"),
+    "es": ("data", "small", "el"),
+    "fr": ("le", "slow", "part"),
+    "zh": ("window", "batch"),
+}
+
+# BPE-ish token regex: letter runs, digit runs, single punctuation
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "to", "and", "data", "key", "row")
+
+
+def _count_in(words_expr: str, needles: tuple[str, ...]) -> str:
+    arr = "array(" + ", ".join(f"'{w}'" for w in needles) + ")"
+    return f"size(filter({words_expr}, w -> array_contains({arr}, w)))"
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Predicted language = argmax marker count, ties -> lang asc."""
+    score_cols = ", ".join(
+        f"named_struct('lang', '{lang}', 'score',"
+        f" {_count_in('ws', LANG_MARKERS[lang])})"
+        for lang in sorted(LANG_MARKERS)
+    )
+    expr = f"""
+    element_at(transform(array(split(text, ' ')), ws ->
+      aggregate(array({score_cols}),
+                named_struct('lang', '', 'score', -1),
+                (best, s) -> IF(s.score > best.score, s, best))
+    ), 1)
+    """
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(expr).getField("lang").alias("pred_lang"),
+        F.expr(expr).getField("score").cast("long").alias("marker_hits"),
+    )
+
+
+def _duck_count_in(needles: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in needles) + "]"
+    return f"len(list_filter(ws, w -> list_contains({arr}, w)))"
+
+
+LANG_ID_SQL = (
+    "WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+    " string_split(text, ' ') AS ws FROM documents),\n"
+    "unp AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang,"
+        f" {_duck_count_in(LANG_MARKERS[lang])} AS score FROM w"
+        for lang in sorted(LANG_MARKERS)
+    )
+    + "),\n"
+    "ranked AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER"
+    " (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM unp)\n"
+    "SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS marker_hits"
+    " FROM ranked WHERE rn = 1"
+)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword-ratio / word-length quality features + blended score
+    (the deterministic analog of model-based quality classifiers)."""
+    expr = f"""
+    element_at(transform(array(split(text, ' ')), ws -> named_struct(
+      'n_words', size(ws),
+      'stop_ratio', {_count_in('ws', STOPWORDS)} / cast(size(ws) as double),
+      'avg_word_len', aggregate(ws, 0L, (a, w) -> a + length(w))
+                      / cast(size(ws) as double)
+    )), 1)
+    """
+    q = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(expr).alias("f"),
+    ).select(
+        "doc_id",
+        F.col("f.n_words").cast("long").alias("n_words"),
+        (F.floor(F.col("f.stop_ratio") * 10000) / 10000).alias("stop_ratio"),
+        (F.floor(F.col("f.avg_word_len") * 10000) / 10000).alias("avg_word_len"),
+        (
+            F.floor(
+                (
+                    0.4 * F.least(F.col("f.n_words") / 50.0, F.lit(1.0))
+                    + 0.3 * F.col("f.stop_ratio")
+                    + 0.3 * F.least(F.col("f.avg_word_len") / 8.0, F.lit(1.0))
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("quality"),
+    )
+    return q
+
+
+QUALITY_SQL = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    {_duck_count_in(STOPWORDS)} / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) / CAST(len(ws) AS DOUBLE) AS avg_word_len
+  FROM w
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  floor(stop_ratio * 10000) / 10000 AS stop_ratio,
+  floor(avg_word_len * 10000) / 10000 AS avg_word_len,
+  floor((0.4 * least(n_words / 50.0, 1.0) + 0.3 * stop_ratio
+        + 0.3 * least(avg_word_len / 8.0, 1.0)) * 10000) / 10000 AS quality
+FROM f
+"""
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).cast("long").alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS re_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+_K = 8  # fingerprint k-gram size
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint: min polyhash over all character
+     8-grams (winnowing's global-min degenerate case) + distinct count."""
+    expr = f"""
+    element_at(transform(array(
+      CASE WHEN length(text) >= {_K} THEN
+        transform(sequence(1, length(text) - {_K} + 1),
+                  i -> aggregate(split(substring(text, i, {_K}), ''), 0L,
+                                 (acc, c) -> (acc * 31 + ascii(c)) % {MOD}))
+      ELSE array(aggregate(split(text, ''), 0L,
+                           (acc, c) -> (acc * 31 + ascii(c)) % {MOD}))
+      END), hs -> named_struct(
+        'fp', array_min(hs),
+        'n_distinct', size(array_distinct(hs)))
+    ), 1)
+    """
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(expr).getField("fp").alias("fingerprint"),
+        F.expr(expr).getField("n_distinct").cast("long").alias("n_distinct_grams"),
+    )
+
+
+FINGERPRINTS_SQL = f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN length(text) >= {_K} THEN
+      list_transform(range(1, length(text) - {_K} + 2),
+                     i -> substr(text, CAST(i AS BIGINT), {_K}))
+    ELSE [text] END AS grams
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {duck_polyhash_over_array('grams')} AS hs FROM g
+)
+SELECT doc_id, list_min(hs) AS fingerprint,
+       CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_grams
+FROM h
+"""
