@@ -1,0 +1,54 @@
+"""Physical-plan introspection: the asserts that keep this engine fast.
+
+Catalyst gives predicate pushdown / column pruning / broadcast selection
+for free ONLY while the plan stays declarative; a stray UDF or RDD hop
+silently turns a 2-column parquet scan into a full-row read. These helpers
+let tests pin the plan shape (SURVEY.md §4), so a regression in plan
+quality fails CI rather than a 100-TB run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    plan = physical_plan(df)
+    assert "PushedFilters" in plan and fragment in plan, (
+        f"filter '{fragment}' not pushed to the scan:\n{plan}"
+    )
+
+
+def assert_read_schema_only(df: DataFrame, columns: set[str]) -> None:
+    """The parquet ReadSchema must contain exactly `columns` (pruning)."""
+    plan = physical_plan(df)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*(?:<[^>]*>[^>]*)*)>", plan)
+    assert m, f"no ReadSchema in plan:\n{plan}"
+    top_level = re.findall(r"(?:^|,)(\w+):", m.group(1))
+    assert set(top_level) == columns, (
+        f"ReadSchema has {top_level}, wanted {columns}:\n{plan}"
+    )
+
+
+def assert_no_exchange(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"join did not broadcast:\n{plan}"
+    )

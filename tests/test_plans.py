@@ -1,0 +1,57 @@
+"""Plan-shape regression tests: pushdown, pruning, no stray shuffles,
+broadcast joins (SURVEY.md §4 — these properties, not micro-timings, are
+what survive a 100x scale-up)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpt4ocontentextraction_spark.operators.extract import extract
+from gpt4ocontentextraction_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_exchange,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    physical_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def flat_docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_point_lookup_filter_pushed(spark, flat_docs):
+    df = flat_docs.filter(F.col("doc_id") == 42).select("doc_id", "lang")
+    assert_pushed_filter(df, "doc_id")
+    assert_read_schema_only(df, {"doc_id", "lang"})
+
+
+def test_extract_prunes_and_does_not_shuffle(spark, flat_docs):
+    from gpt4ocontentextraction_spark.spanify import spanify
+
+    wide = flat_docs.withColumn("junk", F.lit(1))
+    pipe = extract(spanify(wide))
+    assert_no_exchange(pipe)
+    # only doc_id + text reach the scan, junk/lang/source/n_chars pruned
+    assert_read_schema_only(pipe, {"doc_id", "text"})
+
+
+def test_resume_join_broadcasts(spark, flat_docs):
+    done = flat_docs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    pending = flat_docs.join(F.broadcast(done), "doc_id", "left_anti")
+    assert_broadcast_join(pending)
+
+
+def test_extract_plan_is_single_stage(spark, flat_docs):
+    from gpt4ocontentextraction_spark.spanify import spanify
+
+    plan = physical_plan(extract(spanify(flat_docs)))
+    # one scan node, one MapInArrow; no Exchange/Sort operators
+    assert plan.count("(1) Scan parquet") == 1
+    assert "(5)" not in plan  # exactly 4 nodes: scan, c2r, project, mapInArrow
+    assert "MapInArrow" in plan
+    assert "Sort " not in plan
