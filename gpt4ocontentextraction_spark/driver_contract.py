@@ -221,6 +221,98 @@ def q_resume_pending(spark, sf_dir):
     )
 
 
+@register(
+    "extract_spans_skew_defused",
+    f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text,'
+    f' media_ref, CAST("offset" AS BIGINT) AS offset FROM extracted',
+)
+def q_extract_skew(spark, sf_dir):
+    """Skew-defused extraction (page-range sharding + reassembly) must
+    produce the SAME relation as the plain path — checked against the same
+    oracle as extract_spans. Tiny thresholds force every doc through the
+    shard path."""
+    from .operators.skew import extract_with_skew_defusal
+
+    return _spans_out(
+        extract_with_skew_defusal(
+            spanify(_docs(spark, sf_dir)),
+            span_threshold=4,
+            target_spans_per_shard=3,
+        )
+    )
+
+
+@register(
+    "rag_context",
+    f"""
+WITH {oracles.MERGE_SQL},
+scored AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(list_filter(string_split(text, ' '),
+         w -> list_contains(['table', 'data', 'merge'], w))) AS BIGINT)
+      AS score
+  FROM documents
+),
+top5 AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 5
+)
+SELECT t.doc_id, t.score, substr(m.merged_md, 1, 120) AS excerpt
+FROM top5 t JOIN merged m ON CAST(m.doc_id AS BIGINT) = t.doc_id
+""",
+)
+def q_rag_context(spark, sf_dir):
+    """Q3/Q4 data contract: keyword top-5 hits joined back to merged
+    markdown (the content the RAG prompt would consume,
+    docker/main.py:802-858)."""
+    hits = retrieval.keyword_topk(_docs(spark, sf_dir))
+    merged = merge_markdown(extract(spanify(_docs(spark, sf_dir)))).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring("merged_md", 1, 120).alias("excerpt"),
+    )
+    return hits.join(F.broadcast(merged), "doc_id").select(
+        "doc_id", "score", "excerpt"
+    )
+
+
+@register(
+    "media_resolution",
+    f"""
+WITH {oracles.EXTRACT_SQL},
+media_meta AS (
+  SELECT media_ref,
+    CAST(length(media_ref) * 7 % 64 + 8 AS BIGINT) AS width,
+    CAST(length(media_ref) * 5 % 48 + 8 AS BIGINT) AS height
+  FROM (SELECT DISTINCT media_ref FROM extracted
+        WHERE kind = 'media' AND media_ref <> '')
+)
+SELECT e.doc_id, e.media_ref, e.text AS caption, m.width, m.height
+FROM extracted e JOIN media_meta m ON e.media_ref = m.media_ref
+WHERE e.kind = 'media'
+""",
+)
+def q_media_resolution(spark, sf_dir):
+    """Q4: resolve extracted media spans to media metadata via broadcast
+    join on media_ref (docker/main.py:825-847)."""
+    extracted = extract(spanify(_docs(spark, sf_dir)))
+    spans = (
+        extracted.select("doc_id", F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "media") & (F.col("s.media_ref") != ""))
+        .select(
+            "doc_id",
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.text").alias("caption"),
+        )
+    )
+    meta = spans.select("media_ref").distinct().select(
+        "media_ref",
+        (F.length("media_ref") * 7 % 64 + 8).cast("long").alias("width"),
+        (F.length("media_ref") * 5 % 48 + 8).cast("long").alias("height"),
+    )
+    return spans.join(F.broadcast(meta), "media_ref").select(
+        "doc_id", "media_ref", "caption", "width", "height"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family (training-data pipeline operators)
 # ---------------------------------------------------------------------------
