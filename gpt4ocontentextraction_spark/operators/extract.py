@@ -48,56 +48,84 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
-def _extract_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+def _flatten(batch: pa.RecordBatch):
     doc_id = batch.column("doc_id")
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):  # pragma: no cover - defensive
         spans = spans.combine_chunks()
-
     n_docs = len(batch)
     counts = pa.compute.list_value_length(spans).to_numpy(zero_copy_only=False)
     counts = np.nan_to_num(counts, nan=0).astype(np.int64)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-
     values = spans.flatten()  # StructArray, slice-aware
 
-    def _str_col(name: str) -> pd.Series:
+    def _str(name: str) -> pa.Array:
         arr = values.field(name)
-        s = arr.to_pandas()
-        return s.fillna("") if arr.null_count else s
+        return arr.fill_null("") if arr.null_count else arr
 
     off = values.field("offset")
     if off.null_count:
         off = off.fill_null(0)
-    flat = pd.DataFrame(
-        {
-            "doc_idx": doc_idx,
-            "kind": _str_col("kind"),
-            "text": _str_col("text"),
-            "media_ref": _str_col("media_ref"),
-            "offset": off.to_numpy(zero_copy_only=False).astype("int64"),
-        }
+    return (
+        doc_id,
+        n_docs,
+        doc_idx,
+        _str("kind"),
+        _str("text"),
+        _str("media_ref"),
+        off.to_numpy(zero_copy_only=False).astype(np.int64),
     )
 
-    out = extract_exploded(flat)
 
-    out_counts = np.bincount(
-        out["doc_idx"].to_numpy(), minlength=n_docs
-    ).astype(np.int32)
+def _rebuild(doc_id, n_docs, out_doc, out_kind, out_text, out_media, out_off):
+    out_counts = np.bincount(out_doc, minlength=n_docs).astype(np.int32)
     offsets = np.zeros(n_docs + 1, dtype=np.int32)
     np.cumsum(out_counts, out=offsets[1:])
-
     out_values = pa.StructArray.from_arrays(
         [
-            pa.array(out["kind"], type=pa.string()),
-            pa.array(out["text"], type=pa.string()),
-            pa.array(out["media_ref"], type=pa.string()),
-            pa.array(out["offset"].to_numpy().astype(np.int32), type=pa.int32()),
+            out_kind,
+            out_text,
+            out_media,
+            pa.array(out_off, type=pa.int32()),
         ],
         fields=list(_OUT_SPAN_TYPE),
     )
     out_spans = pa.ListArray.from_arrays(pa.array(offsets), out_values)
     return pa.RecordBatch.from_arrays([doc_id, out_spans], schema=_OUT_SCHEMA)
+
+
+def _extract_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """Arrow-native fast path (operators/extract_arrow.py)."""
+    from .extract_arrow import extract_values_arrow
+
+    doc_id, n_docs, doc_idx, kind, text, media, off = _flatten(batch)
+    out = extract_values_arrow(doc_idx, kind, text, media, off)
+    return _rebuild(doc_id, n_docs, *out)
+
+
+def _extract_batch_pandas(batch: pa.RecordBatch) -> pa.RecordBatch:
+    """Reference path through the pandas kernel (kept for equivalence
+    tests; semantics-defining implementation)."""
+    doc_id, n_docs, doc_idx, kind, text, media, off = _flatten(batch)
+    flat = pd.DataFrame(
+        {
+            "doc_idx": doc_idx,
+            "kind": kind.to_pandas(),
+            "text": text.to_pandas(),
+            "media_ref": media.to_pandas(),
+            "offset": off,
+        }
+    )
+    out = extract_exploded(flat)
+    return _rebuild(
+        doc_id,
+        n_docs,
+        out["doc_idx"].to_numpy(),
+        pa.array(out["kind"], type=pa.string()),
+        pa.array(out["text"], type=pa.string()),
+        pa.array(out["media_ref"], type=pa.string()),
+        out["offset"].to_numpy().astype(np.int32),
+    )
 
 
 def _extract_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
