@@ -97,6 +97,25 @@ def q_page_chunks(spark, sf_dir):
     return page_chunks(extract(spanify(_docs(spark, sf_dir))))
 
 
+@register("chunk_dispatch", f"WITH {oracles.CHUNK_DISPATCH_SQL}")
+def q_chunk_dispatch(spark, sf_dir):
+    """C1: strategy dispatch — page chunking for slide/sheet/image file
+    types, markdown for document types (docker/main.py:457-463); file_type
+    derived deterministically from doc_id (% 6 over the 6 reference types,
+    so even ids land on page-chunk types)."""
+    from .operators.chunk import chunk_dispatch
+
+    extracted = extract(spanify(_docs(spark, sf_dir)))
+    typed = extracted.withColumn(
+        "file_type",
+        F.expr(
+            "element_at(array('pptx','pdf','xlsx','docx','png','html'),"
+            " int(cast(doc_id as bigint) % 6) + 1)"
+        ),
+    )
+    return chunk_dispatch(typed)
+
+
 @register(
     "markdown_chunks",
     f"WITH {oracles.MD_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"

@@ -87,6 +87,25 @@ def page_chunks(extracted: DataFrame) -> DataFrame:
     )
 
 
+PAGE_CHUNK_TYPES = ("pptx", "ppt", "xlsx", "xls", "png", "jpg")
+
+
+def chunk_dispatch(extracted: DataFrame, file_type_col: str = "file_type") -> DataFrame:
+    """C1: strategy dispatch — `page` chunking for slide/sheet/image types,
+    `markdown` for document types (docker/main.py:457-463). The input must
+    carry a file_type column; rows route to the matching chunker and the
+    results union (each branch prunes to its docs before chunking, so the
+    window/groupBy work only touches its own partition of the corpus)."""
+    is_page = F.col(file_type_col).isin(*PAGE_CHUNK_TYPES)
+    page_part = page_chunks(
+        extracted.filter(is_page).drop(file_type_col)
+    ).withColumn("chunk_type", F.lit("page"))
+    md_part = markdown_chunks(
+        extracted.filter(~is_page).drop(file_type_col)
+    ).withColumn("chunk_type", F.lit("markdown"))
+    return page_part.unionByName(md_part)
+
+
 def markdown_chunks(extracted: DataFrame) -> DataFrame:
     """Heading-section chunks with size/overlap splitting and title carry."""
     e = _with_page(exploded_spans(extracted))

@@ -91,7 +91,9 @@ def extract_values_arrow(
 
     # step 4: boilerplate strip
     drop = _BOILER[kid_p]
-    is_text = kid_p == KID_TEXT
+    is_text = (
+        (kid_p == KID_TEXT) | (kid_p == KID_COL_L) | (kid_p == KID_COL_R)
+    )
     if is_text.any():
         trimmed = pc.utf8_trim_whitespace(text_p)
         blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
@@ -136,6 +138,7 @@ def extract_values_arrow(
     tbl_joined = pa.array([], type=pa.string())
     if is_tr.any():
         tr_text = pc.take(text, pa.array(sel[is_tr]))
+        tr_text = pc.replace_substring(tr_text, pattern="\n", replacement=" ")
         cells = pc.replace_substring(tr_text, pattern="\t", replacement=" | ")
         lines_arr = pc.binary_join_element_wise("| ", cells, " |", "")
         tr_isl = island[is_tr]

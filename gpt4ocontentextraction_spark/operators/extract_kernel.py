@@ -30,7 +30,9 @@ Deterministic extraction semantics (total order, no ties — SURVEY.md §7
    full, then the right (FIXTURES.md `pdf_two_column`; x-coordinate column
    clustering reduced to its decision: left column precedes right).
 4. **Boilerplate strip.** Spans with kind in {nav, footer, ad, script} are
-   dropped (tagged HTML chrome). Additionally, `text` spans are dropped when
+   dropped (tagged HTML chrome). Additionally, textual spans (`text`,
+   `column_left`, `column_right` — everything that maps to a `text` output
+   span) are dropped when
    (a) the text is blank after trimming, or (b) their *link density* — the
    fraction of characters inside markdown links ``[label](url)`` — exceeds
    0.5 (Boilerpipe/Readability-style block scoring on the one feature that
@@ -45,7 +47,8 @@ Deterministic extraction semantics (total order, no ties — SURVEY.md §7
      layout, not content, once reading order is resolved).
    - A maximal run of consecutive ``table_row`` spans (after steps 1-4)
      becomes ONE ``table`` span: each row's cells (tab-separated in the
-     input text) render as ``| a | b |``; after the first (header) row a
+     input text; embedded newlines sanitized to spaces so a cell cannot
+     break the table) render as ``| a | b |``; after the first (header) row a
      ``| --- | --- |`` separator with the header's column count is
      inserted. Mirrors chart/table -> pipe-table (docker/main.py:574-576).
    - chart / figure -> ``media`` span: text preserved (caption),
@@ -147,7 +150,7 @@ def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
     # -- step 4: boilerplate strip (tagged kinds + link-density on text).
     k = df["kind"]
     drop = k.isin(BOILERPLATE_KINDS)
-    is_text = k == "text"
+    is_text = k.isin(("text", "column_left", "column_right"))
     if is_text.any():
         txt = df.loc[is_text, "text"]
         blank = txt.str.strip() == ""
@@ -188,7 +191,7 @@ def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
     if h2.any():
         out_text.loc[h2] = "## " + out_text.loc[h2]
     if is_tr.any():
-        rows = df.loc[is_tr, "text"]
+        rows = df.loc[is_tr, "text"].str.replace("\n", " ", regex=False)
         out_text.loc[is_tr] = "| " + rows.str.replace("\t", " | ", regex=False) + " |"
     out_media = np.where(out_kind == "media", df["media_ref"].to_numpy(), "")
 

@@ -38,7 +38,7 @@ KEPT_SQL = f"""
 kept AS (
   SELECT * FROM resolved
   WHERE kind NOT IN ('nav', 'footer', 'ad', 'script')
-    AND NOT (kind = 'text' AND (
+    AND NOT (kind IN ('text', 'column_left', 'column_right') AND (
       trim(text) = ''
       OR (length(text)
           - length(regexp_replace(text, '\\[[^\\]]*\\]\\([^)]*\\)', '', 'g')))
@@ -66,7 +66,7 @@ islanded AS (
 pieces AS (
   SELECT *,
     CASE WHEN kind = 'table_row' THEN
-      '| ' || replace(text, chr(9), ' | ') || ' |'
+      '| ' || replace(replace(text, chr(10), ' '), chr(9), ' | ') || ' |'
       || CASE WHEN ROW_NUMBER() OVER (PARTITION BY doc_id, island ORDER BY rn) = 1
          THEN chr(10) || '| ' ||
               array_to_string(list_transform(range(len(string_split(text, chr(9)))),
@@ -115,8 +115,7 @@ merged AS (
 """
 
 # C2: page chunking (vectorize_by_page, docker/main.py:479-500).
-PAGE_CHUNKS_SQL = f"""
-{EXTRACT_SQL},
+_PAGE_CHUNKS_SUFFIX = """,
 pc_paged AS (
   SELECT *,
     COALESCE(SUM(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
@@ -138,11 +137,11 @@ page_chunks AS (
   GROUP BY doc_id, page
 )
 """
+PAGE_CHUNKS_SQL = EXTRACT_SQL + _PAGE_CHUNKS_SUFFIX
 
 # C3: markdown-heading chunking with 8192/820 windows and title carry
 # (vectorize_by_markdown, docker/main.py:502-539).
-MD_CHUNKS_SQL = f"""
-{EXTRACT_SQL},
+_MD_CHUNKS_SUFFIX = """,
 mc_paged AS (
   SELECT *,
     COALESCE(SUM(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
@@ -185,6 +184,25 @@ md_chunks AS (
   FROM md_pieces
 )
 """
+MD_CHUNKS_SQL = EXTRACT_SQL + _MD_CHUNKS_SUFFIX
+
+# C1: chunk-strategy dispatch — page chunking for even doc_ids (the
+# deterministic stand-in for pptx/xlsx/png file types), markdown for odd
+# (pdf/docx/html). Reference rules: docker/main.py:457-463.
+CHUNK_DISPATCH_SQL = (
+    EXTRACT_SQL
+    + _PAGE_CHUNKS_SUFFIX
+    + _MD_CHUNKS_SUFFIX
+    + """
+SELECT chunk_doc_id, chunk_id, pg_number, file_name, title, content,
+       'page' AS chunk_type
+FROM page_chunks WHERE CAST(file_name AS BIGINT) % 2 = 0
+UNION ALL
+SELECT chunk_doc_id, chunk_id, pg_number, file_name, title, content,
+       'markdown' AS chunk_type
+FROM md_chunks WHERE CAST(file_name AS BIGINT) % 2 = 1
+"""
+)
 
 # F1-F5 page-marker functions over the merged markdown.
 MARKERS_SQL = f"""

@@ -1,0 +1,65 @@
+"""Table IO: Iceberg when the runtime has it, parquet otherwise (S1-S8).
+
+The production target is an Iceberg catalog (10^12-doc table, snapshot
+commits, partition pruning). This sandbox image ships no iceberg-runtime
+jar, so every entry point degrades to plain parquet + the local
+SnapshotTable (sources/snapshots.py) while keeping the same call shape —
+swap `ICEBERG=True` semantics in by adding the jar + catalog conf.
+
+Also covers the reference's scan/DDL surface:
+- S2/S3 directory scans -> binaryFile reader with recursiveFileLookup
+- S8 index DDL (delete+create, doc2md_utils.py:231-262) ->
+  CREATE OR REPLACE TABLE
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_CONF = {
+    # what a real deployment sets (documented, not active here):
+    # "spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog",
+    # "spark.sql.catalog.lake.type": "rest",
+}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_documents(spark: SparkSession, location: str) -> DataFrame:
+    """Iceberg table name (`cat.db.tbl`) or a parquet path."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def scan_binary_dir(
+    spark: SparkSession, path: str, recursive: bool = True, glob: str = "*"
+) -> DataFrame:
+    """S2/S3: directory scan as a DataFrame of (path, length, content)
+    (reference walks the FS with os.walk, docker/main.py:233-247)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "length", "content")
+    )
+
+
+def create_or_replace_table(
+    spark: SparkSession, name: str, ddl_columns: str, location: str | None = None
+) -> None:
+    """S8: delete+create index DDL -> CREATE OR REPLACE TABLE."""
+    using = "iceberg" if iceberg_available(spark) else "parquet"
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE OR REPLACE TABLE {name} ({ddl_columns}) USING {using}{loc}"
+    )
