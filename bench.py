@@ -41,8 +41,12 @@ HEADLINE = (
     "merge_markdown",
     "page_chunks",
     "markdown_chunks",
+    "page_chunks_fused",
+    "markdown_chunks_fused",
     "page_markers",
     "resume_pending",
+    "minhash_lsh",
+    "cosine_topk",
 )
 
 

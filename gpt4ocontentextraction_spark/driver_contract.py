@@ -97,6 +97,32 @@ def q_page_chunks(spark, sf_dir):
     return page_chunks(extract(spanify(_docs(spark, sf_dir))))
 
 
+@register(
+    "page_chunks_fused",
+    f"WITH {oracles.PAGE_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
+    f" pg_number, file_name, title, content FROM page_chunks",
+)
+def q_page_chunks_fused(spark, sf_dir):
+    """C2 fused into the extraction mapInArrow pass (zero shuffle) — same
+    oracle as the relational page_chunks, so fusion is gate-proven."""
+    from .operators.chunk_fused import page_chunks_fused
+
+    return page_chunks_fused(spanify(_docs(spark, sf_dir)))
+
+
+@register(
+    "markdown_chunks_fused",
+    f"WITH {oracles.MD_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
+    f" pg_number, file_name, title, content FROM md_chunks",
+)
+def q_markdown_chunks_fused(spark, sf_dir):
+    """C3 fused into the extraction pass (zero shuffle), oracle-equal to
+    the relational markdown_chunks."""
+    from .operators.chunk_fused import markdown_chunks_fused
+
+    return markdown_chunks_fused(spanify(_docs(spark, sf_dir)))
+
+
 @register("chunk_dispatch", f"WITH {oracles.CHUNK_DISPATCH_SQL}")
 def q_chunk_dispatch(spark, sf_dir):
     """C1: strategy dispatch — page chunking for slide/sheet/image file

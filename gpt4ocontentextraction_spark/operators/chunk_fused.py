@@ -1,0 +1,188 @@
+"""Fused extract+chunk: one mapInArrow pass, zero shuffle.
+
+operators/chunk.py implements C2/C3 relationally (window + groupBy —
+a shuffle keyed by doc_id). At 100 TB that shuffle is pure waste: every
+row already holds a whole document, so chunk assembly can run in the same
+Arrow batch as extraction. These operators register against the SAME
+DuckDB oracles as the relational versions, so the fusion is gate-proven
+equivalent.
+
+Plan shape: Scan -> MapInArrow -> sink. Parallelism = partitions x cores.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame
+
+from .extract import _flatten
+from .extract_arrow import extract_values_arrow
+
+CHUNK_SIZE = 8192
+STRIDE = 7372  # CHUNK_SIZE - 820 overlap
+
+_CHUNKS_DDL = (
+    "chunk_doc_id string, chunk_id long, pg_number long, file_name string,"
+    " title string, content string"
+)
+
+
+def _doc_starts(a: np.ndarray) -> np.ndarray:
+    return np.r_[True, a[1:] != a[:-1]]
+
+
+def _excl_cumsum_per_doc(flag: np.ndarray, doc: np.ndarray) -> np.ndarray:
+    cs = np.cumsum(flag) - flag
+    base = np.maximum.accumulate(np.where(_doc_starts(doc), cs, 0))
+    return cs - base
+
+
+def _incl_cumsum_per_doc(flag: np.ndarray, doc: np.ndarray) -> np.ndarray:
+    cs = np.cumsum(flag)
+    prev = cs - flag  # exclusive
+    base = np.maximum.accumulate(np.where(_doc_starts(doc), prev, 0))
+    return cs - base
+
+
+def _group_join(
+    text: pa.Array, group_key: np.ndarray
+) -> tuple[np.ndarray, pa.Array]:
+    """Join contiguous groups' texts with newlines (C-side). Returns
+    (start positions, joined array)."""
+    starts = np.flatnonzero(_doc_starts(group_key))
+    bounds = np.r_[starts, len(group_key)].astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(bounds), text), "\n"
+    )
+    return starts, joined
+
+
+def page_chunks_fused(documents: DataFrame) -> DataFrame:
+    """C2 fused: extraction + per-page chunk assembly in one Arrow pass."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            doc_id, n_docs, doc_idx, kind, text, media, off = _flatten(batch)
+            d, okind_a, otext, _om, _off = extract_values_arrow(
+                doc_idx, kind, text, media, off
+            )
+            okind = okind_a.to_numpy(zero_copy_only=False)
+            is_pb = okind == "page_break"
+            page = _excl_cumsum_per_doc(is_pb.astype(np.int64), d)
+
+            keep = ~is_pb
+            d_k = d[keep]
+            page_k = page[keep]
+            text_k = pc.take(otext, pa.array(np.flatnonzero(keep)))
+            if len(d_k) == 0:
+                continue
+            # contiguous (doc, page) groups
+            gk = d_k * (page_k.max() + 1) + page_k
+            starts, body = _group_join(text_k, gk)
+            pg = pa.array((page_k[starts] + 1).astype(np.int64))
+            pg_str = pc.cast(pg, pa.string())
+            doc_str = pc.take(doc_id, pa.array(d_k[starts]))
+            content = pc.binary_join_element_wise(
+                "||", pg_str, "||\n", body, ""
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.binary_join_element_wise(doc_str, pg_str, "-"),
+                    pg,
+                    pg,
+                    doc_str,
+                    pa.array([None] * len(starts), type=pa.string()),
+                    content,
+                ],
+                names=[
+                    "chunk_doc_id", "chunk_id", "pg_number", "file_name",
+                    "title", "content",
+                ],
+            )
+
+    return documents.select("doc_id", "spans").mapInArrow(run, _CHUNKS_DDL)
+
+
+def markdown_chunks_fused(documents: DataFrame) -> DataFrame:
+    """C3 fused: heading sections, 8192/820 windows, title carry — same
+    pass as extraction."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            doc_id, n_docs, doc_idx, kind, text, media, off = _flatten(batch)
+            d, okind_a, otext, _om, _off = extract_values_arrow(
+                doc_idx, kind, text, media, off
+            )
+            if len(d) == 0:
+                continue
+            okind = okind_a.to_numpy(zero_copy_only=False)
+            is_h1 = (okind == "heading") & pc.starts_with(
+                otext, "# "
+            ).to_numpy(zero_copy_only=False)
+            is_pb = okind == "page_break"
+            page = _excl_cumsum_per_doc(is_pb.astype(np.int64), d)
+            sec = _incl_cumsum_per_doc(is_h1.astype(np.int64), d)
+
+            gk = d * (sec.max() + 1) + sec
+            starts, content = _group_join(otext, gk)
+            sec_doc = d[starts]
+            sec_page0 = page[starts] + 1
+            # section title: its first span when that span is a '# ' heading
+            title = pc.if_else(
+                pa.array(is_h1[starts]),
+                pc.take(otext, pa.array(starts)),
+                pa.scalar(None, type=pa.string()),
+            )
+            lens = pc.utf8_length(content).to_numpy(zero_copy_only=False)
+            n_chunks = np.maximum(
+                1, np.ceil((lens - 820) / float(STRIDE)).astype(np.int64)
+            )
+            # expand sections x k
+            rep = np.repeat(np.arange(len(starts)), n_chunks)
+            k = np.concatenate([np.arange(c) for c in n_chunks]) if len(
+                n_chunks
+            ) else np.empty(0, dtype=np.int64)
+            exp_content = pc.take(content, pa.array(rep))
+            # slice per distinct k (few distinct values; scalar bounds = C)
+            out_content = None
+            for kv in np.unique(k):
+                sl = pc.utf8_slice_codeunits(
+                    exp_content, int(kv) * STRIDE, int(kv) * STRIDE + CHUNK_SIZE
+                )
+                out_content = sl if out_content is None else pc.if_else(
+                    pa.array(k == kv), sl, out_content
+                )
+            chunk_doc = sec_doc[rep]
+            chunk_id = np.arange(len(rep), dtype=np.int64)
+            chunk_id -= np.maximum.accumulate(
+                np.where(_doc_starts(chunk_doc), chunk_id, 0)
+            )
+            doc_str = pc.take(doc_id, pa.array(chunk_doc))
+            cid = pa.array(chunk_id)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.binary_join_element_wise(
+                        doc_str, pc.cast(cid, pa.string()), "-"
+                    ),
+                    cid,
+                    pa.array(sec_page0[rep].astype(np.int64)),
+                    doc_str,
+                    pc.take(title, pa.array(rep)),
+                    out_content,
+                ],
+                names=[
+                    "chunk_doc_id", "chunk_id", "pg_number", "file_name",
+                    "title", "content",
+                ],
+            )
+
+    return documents.select("doc_id", "spans").mapInArrow(run, _CHUNKS_DDL)
