@@ -243,6 +243,32 @@ def q_parse_doc_id(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Event-time analytics (streaming-capable operators, batch-checked)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+from .streaming import windows as _win  # noqa: E402
+
+
+@register("hourly_rollup", _win.HOURLY_ROLLUP_SQL)
+def q_hourly_rollup(spark, sf_dir):
+    """Tumbling 1-hour event rollup (streaming variant in
+    streaming/windows.py runs the same plan with a watermark)."""
+    return _win.hourly_rollup(_events(spark, sf_dir))
+
+
+@register("sessionize", _win.SESSIONIZE_SQL)
+def q_sessionize(spark, sf_dir):
+    """Gap-based session windows per user (session_window; oracle is the
+    lag/gaps-and-islands formulation)."""
+    return _win.sessionize(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Resume anti-join (M6) + point lookup (S10)
 # ---------------------------------------------------------------------------
 

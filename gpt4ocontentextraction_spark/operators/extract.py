@@ -20,6 +20,7 @@ Exchange.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -128,10 +129,40 @@ def _extract_batch_pandas(batch: pa.RecordBatch) -> pa.RecordBatch:
     )
 
 
-def _extract_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+# Memory guard: Arrow batch sizing is row-based (maxRecordsPerBatch), but a
+# single oversized document can carry 100k+ spans in ONE row. Rechunk
+# incoming batches so no kernel invocation holds more than this many spans
+# (bounds worker memory instead of relying on spill — SURVEY.md §4).
+MAX_SPANS_PER_KERNEL_BATCH = int(
+    os.environ.get("SPARK_GRAFT_MAX_SPANS_PER_BATCH", "262144")
+)
+
+
+def _bounded(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     for batch in batches:
-        if len(batch):
-            yield _extract_batch(batch)
+        if not len(batch):
+            continue
+        counts = pa.compute.list_value_length(
+            batch.column("spans")
+        ).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+        if counts.sum() <= MAX_SPANS_PER_KERNEL_BATCH:
+            yield batch
+            continue
+        start = 0
+        running = 0
+        for i, c in enumerate(counts):
+            if running and running + c > MAX_SPANS_PER_KERNEL_BATCH:
+                yield batch.slice(start, i - start)
+                start, running = i, 0
+            running += int(c)
+        if start < len(batch):
+            yield batch.slice(start, len(batch) - start)
+
+
+def _extract_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    for batch in _bounded(batches):
+        yield _extract_batch(batch)
 
 
 def extract(documents: DataFrame) -> DataFrame:

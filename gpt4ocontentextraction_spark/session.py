@@ -34,12 +34,21 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    task_retries: int = 1,
 ) -> SparkSession:
+    """task_retries > 1 enables task re-execution in local mode
+    (local[N, R]); the cluster analog is spark.task.maxFailures — the
+    engine's replacement for the reference's tenacity retry loops
+    (doc2md_utils.py:180, docker/main.py:289-319): extraction is
+    deterministic + idempotent, so retries are safe at the task level."""
     _export_package_path()
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    master = (
+        f"local[{cores}]" if task_retries <= 1 else f"local[{cores}, {task_retries}]"
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

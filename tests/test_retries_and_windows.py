@@ -1,0 +1,98 @@
+"""M7 retry semantics (task-level re-execution instead of in-UDF tenacity
+loops) + streaming windowed rollup vs its batch plan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpt4ocontentextraction_spark.streaming.windows import (
+    hourly_rollup,
+    stream_hourly_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+_RETRY_SCRIPT = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+from gpt4ocontentextraction_spark.session import get_spark
+
+marker_dir = sys.argv[1]
+
+def flaky(batches):
+    import os
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    marker = os.path.join(marker_dir, f"p{ctx.partitionId()}")
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write("attempted")
+        raise RuntimeError("transient failure (first attempt)")
+    for pdf in batches:
+        yield pdf
+
+spark = get_spark("retry-test", cores=2, task_retries=2)
+df = spark.range(0, 100, 1, 2).selectExpr("id", "id * 2 as v")
+out = df.mapInPandas(flaky, "id long, v long").collect()
+assert len(out) == 100, len(out)
+assert len(os.listdir(marker_dir)) == 2
+print("RETRY_OK")
+spark.stop()
+"""
+
+
+def test_task_retry_recovers_transient_failure(tmp_path):
+    """A task that fails on its first attempt succeeds under local[N, 2] —
+    the engine's answer to the reference's 6-attempt tenacity retries.
+    Runs in a subprocess: it needs its own SparkContext with a retrying
+    master, and must not stop the suite's shared session."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "retry_script.py"
+    script.write_text(_RETRY_SCRIPT)
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    res = subprocess.run(
+        [sys.executable, str(script), str(marker_dir)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "RETRY_OK" in res.stdout, res.stderr[-2000:]
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    import shutil
+
+    in_dir = tmp_path / "events_in"
+    in_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", in_dir / "events.parquet")
+    q = stream_hourly_rollup(
+        spark, str(in_dir), str(tmp_path / "ckpt"), "rollup_out"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch = {tuple(r) for r in hourly_rollup(events).collect()}
+
+    # append mode emits only watermark-closed windows: streamed is a subset
+    assert streamed <= batch
+    # and covers every window older than max_ts - watermark
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    # append emits a window once its END (start+1h) <= watermark
+    # (max_ts - 2h); 3.5h margin keeps the check safely inside that
+    horizon = (max_ts - datetime.timedelta(hours=3, minutes=30)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    expected_closed = {r for r in batch if r[0] < horizon}
+    assert expected_closed <= streamed
+    assert streamed  # non-empty
