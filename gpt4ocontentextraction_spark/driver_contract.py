@@ -243,6 +243,91 @@ def q_parse_doc_id(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth (§2.7 gap categories: multi-way join, window top-k,
+# grouped aggregation) — decimal casts keep double-sum order-independence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS sum_qty,
+  round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1995-09-02'
+GROUP BY 1, 2
+""",
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style grouped aggregation (map-side partial combine,
+    predicate pushed to scan)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = F.col("l_quantity").cast("decimal(18,4)")
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1995-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(q), 2).alias("sum_qty"),
+            F.round(F.sum(p * (1 - d)), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n.n_name AS nation, c.c_name AS customer,
+         round(r.revenue, 2) AS revenue,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY r.revenue DESC, c.c_custkey) AS rk
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT nation, customer, revenue, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def q_top_customers(spark, sf_dir):
+    """Multi-way broadcast join + window top-k per group."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue")
+    )
+    joined = rev.join(
+        F.broadcast(cust), rev.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_name").alias("customer"),
+            F.round("revenue", 2).alias("revenue"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event-time analytics (streaming-capable operators, batch-checked)
 # ---------------------------------------------------------------------------
 
