@@ -353,6 +353,56 @@ def q_sessionize(spark, sf_dir):
     return _win.sessionize(_events(spark, sf_dir))
 
 
+@register(
+    "events_rollup_cube",
+    """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(CAST(user_id % 4 AS VARCHAR), '<all>') AS user_bucket,
+       COUNT(*) AS n_events,
+       round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
+""",
+)
+def q_events_cube(spark, sf_dir):
+    """Grouping sets / cube (SURVEY §2.7 gap category): event_type x
+    user-bucket rollup with all subtotal combinations."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 4).cast("string").alias("user_bucket"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    return (
+        e.cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("<all>")).alias("user_bucket"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "user_setops",
+    """
+SELECT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_type = 'error'
+""",
+)
+def q_user_setops(spark, sf_dir):
+    """Set operations (§2.7): users who both purchased and errored."""
+    e = _events(spark, sf_dir)
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    erring = e.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(erring)
+
+
 # ---------------------------------------------------------------------------
 # Resume anti-join (M6) + point lookup (S10)
 # ---------------------------------------------------------------------------
@@ -504,6 +554,79 @@ def q_simhash_pairs(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-shingle Jaccard over a bounded all-pairs block."""
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+_E2E_DIMS = 16
+_E2E_P = 1_000_003
+_E2E_TRUNC = 256  # embedding-input truncation (models cap input length)
+
+_E2E_SQL_TEMPLATE = """
+trunc AS (
+  SELECT chunk_doc_id, substr(content, 1, {T}) AS t FROM md_chunks
+),
+hashed AS (
+  SELECT chunk_doc_id, {PH} AS hv FROM trunc
+),
+vecs AS (
+  SELECT chunk_doc_id,
+    list_transform(range({D}), j ->
+      ((hv * (j + 1) + j * j + 13) % {P}) / CAST({P} AS DOUBLE) - 0.5) AS v
+  FROM hashed
+),
+qv AS (SELECT v AS q FROM vecs WHERE chunk_doc_id = '0-0')
+SELECT chunk_doc_id,
+  round({COS}, 6) AS sim
+FROM vecs, qv
+ORDER BY sim DESC, chunk_doc_id ASC
+LIMIT 3
+"""
+
+
+def _e2e_oracle() -> str:
+    from .functions.hashing import duck_polyhash
+    from .operators.retrieval import _duck_cos
+
+    return f"WITH {oracles.MD_CHUNKS_SQL}, " + _E2E_SQL_TEMPLATE.format(
+        T=_E2E_TRUNC,
+        PH=duck_polyhash("t"),
+        D=_E2E_DIMS,
+        P=_E2E_P,
+        COS=_duck_cos("v", "q"),
+    )
+
+
+@register("pipeline_end_to_end", _e2e_oracle())
+def q_pipeline_end_to_end(spark, sf_dir):
+    """The reference's whole flow in ONE query: spanify -> extraction
+    kernel -> markdown chunking -> (truncated) embedding -> cosine top-3
+    vs chunk '0-0' (convert-doc-to-markdown + index + test-query
+    notebooks, composed)."""
+    from .functions.hashing import spark_polyhash
+    from .operators.retrieval import _cos
+
+    chunks = markdown_chunks(extract(spanify(_docs(spark, sf_dir))))
+    trunc = chunks.select(
+        "chunk_doc_id", F.col("content").substr(1, _E2E_TRUNC).alias("t")
+    )
+    vec_expr = (
+        f"element_at(transform(array({spark_polyhash('t')}), hv ->"
+        f" transform(sequence(0, {_E2E_DIMS - 1}), j ->"
+        f" ((hv * (j + 1) + j * j + 13) % {_E2E_P})"
+        f" / cast({_E2E_P} as double) - 0.5)), 1)"
+    )
+    vecs = trunc.select("chunk_doc_id", F.expr(vec_expr).alias("v"))
+    q = vecs.filter(F.col("chunk_doc_id") == "0-0").select(
+        F.col("v").alias("q")
+    )
+    return (
+        vecs.crossJoin(F.broadcast(q))
+        .select(
+            "chunk_doc_id",
+            F.round(F.expr(_cos("v", "q")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("chunk_doc_id"))
+        .limit(3)
+    )
 
 
 # ---------------------------------------------------------------------------
