@@ -111,12 +111,7 @@ def run_scaling() -> dict:
     from gpt4ocontentextraction_spark.session import get_spark
     from gpt4ocontentextraction_spark.spanify import spanify
 
-    conf = {
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
-        # pre-touched fixed heap: page faults are expensive on this
-        # virtualized host and show up as system-time noise
-        "spark.driver.extraJavaOptions": "-Xms10g -XX:+AlwaysPreTouch",
-    }
+    conf = {"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"}
     tmp = tempfile.mkdtemp(prefix="bench_spans_")
     spans_dir = os.path.join(tmp, "spans")
 
@@ -131,7 +126,14 @@ def run_scaling() -> dict:
     n_docs = None
     for _round in range(3):
         for cores in SCALING_LEVELS:
-            spark = get_spark(f"bench-scale-{cores}", cores=cores, extra_conf=conf)
+            level_conf = dict(conf)
+            # faithful N-core emulation: pre-touched fixed heap (page
+            # faults are expensive on this virtualized host) and JVM
+            # internal pools sized for N CPUs, not the host's 32
+            level_conf["spark.driver.extraJavaOptions"] = (
+                f"-Xms10g -XX:+AlwaysPreTouch -XX:ActiveProcessorCount={cores}"
+            )
+            spark = get_spark(f"bench-scale-{cores}", cores=cores, extra_conf=level_conf)
             spans = spark.read.parquet(spans_dir)
             n_docs = spans.count()
             pipeline = extract(spans)
