@@ -25,9 +25,37 @@ def _ensure_worker_path() -> None:
         os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{cur}" if cur else _REPO
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable in this session's Python workers even if
+    the JVM was launched elsewhere without PYTHONPATH: zip the package and
+    addPyFile it (idempotent per session)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import zipfile
+
+    zip_path = os.path.join("/tmp", "gpt4ocontentextraction_spark_pkg.zip")
+    pkg = os.path.join(_REPO, "gpt4ocontentextraction_spark")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _SHIPPED.add(key)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spanify -> extraction kernel -> exploded output spans."""
     _ensure_worker_path()
+    _ship_package(spark)
     from gpt4ocontentextraction_spark.driver_contract import QUERIES
 
     return QUERIES["extract_spans"](spark, "/root/testdata/sf0.001")
@@ -37,7 +65,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_worker_path()
     from gpt4ocontentextraction_spark.driver_contract import QUERIES
 
-    return dict(QUERIES)
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
