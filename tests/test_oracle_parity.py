@@ -72,16 +72,8 @@ def test_all_queries_match_oracles(spark, con):
         if sorted(spark_cols) != sorted(duck_cols):
             failures.append(f"{name}: columns {spark_cols} vs {duck_cols}")
             continue
-        g = _rows_to_multiset(
-            [tuple(r[c] for c in spark_cols) for r in df.collect()],
-            spark_cols,
-        )
-        w = _rows_to_multiset(
-            [dict(zip(duck_cols, r)) and tuple(r) for r in duck_rows],
-            duck_cols,
-        )
-        # reorder duck rows to spark column name order for hashing parity
-        duck_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+        g = _rows_to_multiset(spark_rows, spark_cols)
+        w = _rows_to_multiset(duck_rows, duck_cols)
         if g != w:
             n_bad = sum(1 for a, b in zip(g, w) if a != b)
             sample = next(((a, b) for a, b in zip(g, w) if a != b), None)
