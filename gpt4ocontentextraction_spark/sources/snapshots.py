@@ -67,21 +67,32 @@ class SnapshotTable:
         return [os.path.join(self.data_dir, c) for c in manifest["commits"]]
 
     def _publish(self, new_commit: str, meta: dict) -> int:
-        v = self.current_version()
-        commits = []
-        if v:
-            with open(os.path.join(self.manifest_dir, f"v{v}.json")) as f:
-                commits = json.load(f)["commits"]
-        manifest = {
-            "version": v + 1,
-            "commits": commits + [new_commit],
-            "commit_meta": meta,
-        }
-        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.manifest_dir, f"v{v + 1}.json"))
-        return v + 1
+        """Optimistic-concurrency publish: os.link fails with EEXIST if
+        another writer took the version first (os.rename would silently
+        overwrite and LOSE their commit) — on conflict, re-read and retry
+        on top of the winner, like Iceberg's commit loop."""
+        while True:
+            v = self.current_version()
+            commits = []
+            if v:
+                with open(os.path.join(self.manifest_dir, f"v{v}.json")) as f:
+                    commits = json.load(f)["commits"]
+            manifest = {
+                "version": v + 1,
+                "commits": commits + [new_commit],
+                "commit_meta": meta,
+            }
+            tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            target = os.path.join(self.manifest_dir, f"v{v + 1}.json")
+            try:
+                os.link(tmp, target)
+                return v + 1
+            except FileExistsError:
+                continue  # lost the race; rebase on the new manifest
+            finally:
+                os.unlink(tmp)
 
     # -- read path ---------------------------------------------------------
 
@@ -120,6 +131,16 @@ class SnapshotTable:
         run_id = run_id or uuid.uuid4().hex
         commit_id = f"c-{run_id}"
         out = os.path.join(self.data_dir, commit_id)
+        if os.path.exists(out):
+            if commit_id in {
+                os.path.basename(d) for d in self.committed_dirs()
+            }:
+                raise ValueError(f"run_id {run_id} is already committed")
+            # leftover from a crashed attempt with the same run_id
+            # (e.g. a retried streaming epoch): uncommitted, safe to clear
+            import shutil
+
+            shutil.rmtree(out)
         df.write.mode("errorifexists").parquet(out)
 
         written = spark.read.parquet(out)

@@ -77,3 +77,46 @@ def test_metrics_written_per_partition(spark, docs, tmp_path):
     out = extract(docs).collect()
     n_tables = sum(1 for r in out for s in r["spans"] if s["kind"] == "table")
     assert sum(r["n_tables_built"] for r in rows) == n_tables
+
+
+def test_concurrent_publish_never_loses_commits(tmp_path):
+    """os.link-based publish: racing writers both land; neither overwrites."""
+    import json
+    import os
+
+    from gpt4ocontentextraction_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "out"))
+    os.makedirs(os.path.join(t.data_dir, "c-a"))
+    os.makedirs(os.path.join(t.data_dir, "c-b"))
+    # simulate a racing writer: publish v1 for c-a, then have a second
+    # writer that (stalely) also computed v1 publish c-b — the retry loop
+    # must land it as v2 with BOTH commits in the final manifest
+    t._publish("c-a", {"run_id": "a"})
+    t._publish("c-b", {"run_id": "b"})
+    with open(os.path.join(t.manifest_dir, f"v{t.current_version()}.json")) as f:
+        commits = json.load(f)["commits"]
+    assert commits == ["c-a", "c-b"]
+
+
+def test_retry_after_partial_write_recovers(spark, tmp_path):
+    """A crashed append (data dir exists, manifest unpublished) must be
+    retryable with the same run_id (streaming epoch retry semantics)."""
+    from gpt4ocontentextraction_spark.fixtures import corpus_to_spark, make_corpus
+    from gpt4ocontentextraction_spark.operators.extract import extract
+    from gpt4ocontentextraction_spark.sources.snapshots import SnapshotTable
+
+    pdf, _ = make_corpus(seed=4, docs_per_class=1, include_giant=False)
+    docs = corpus_to_spark(spark, pdf)
+    table = SnapshotTable(str(tmp_path / "out"))
+    # crashed first attempt: data written, no manifest
+    extract(docs).write.parquet(f"{table.data_dir}/c-epoch-7")
+    assert table.read(spark) is None
+    commit = table.append(extract(docs), spark, run_id="epoch-7")
+    assert commit == "c-epoch-7"
+    assert table.read(spark).count() == docs.count()
+    # committed run_id cannot be appended again
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table.append(extract(docs), spark, run_id="epoch-7")
