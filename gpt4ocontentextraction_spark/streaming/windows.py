@@ -33,7 +33,9 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -48,7 +50,7 @@ HOURLY_ROLLUP_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        COUNT(*) AS n_events,
-       round(SUM(value), 4) AS sum_value
+       round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -105,7 +107,9 @@ def stream_hourly_rollup(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
