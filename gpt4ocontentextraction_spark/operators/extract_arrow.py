@@ -73,21 +73,44 @@ def extract_values_arrow(
     lut = np.array([_KID.get(v, KID_TEXT) for v in dict_vals], dtype=np.int8)
     kid = lut[dk.indices.to_numpy(zero_copy_only=False)]
 
-    # steps 1-3: one permutation for offset order + page seg + reading order
-    order0 = np.lexsort((offset, doc_idx))
-    doc_s = doc_idx[order0]
-    off_s = offset[order0]
-    kid_s = kid[order0]
+    # steps 1-3: one permutation for offset order + page seg + reading
+    # order. Inputs written by this engine (and any sorted table) already
+    # arrive in (doc, offset) order — detect that in O(n) and skip the
+    # O(n log n) lexsorts AND the large string take.
+    def _is_sorted(*keys: np.ndarray) -> bool:
+        if len(keys[0]) < 2:
+            return True
+        strict = np.zeros(len(keys[0]) - 1, dtype=bool)
+        for k in keys:
+            d = np.diff(k)
+            bad = (d < 0) & ~strict
+            if bad.any():
+                return False
+            strict |= d > 0
+        return True
+
+    if _is_sorted(doc_idx, offset):
+        order0 = None
+        doc_s, off_s, kid_s = doc_idx, offset, kid
+    else:
+        order0 = np.lexsort((offset, doc_idx))
+        doc_s = doc_idx[order0]
+        off_s = offset[order0]
+        kid_s = kid[order0]
     is_pb = kid_s == KID_PB
     cs = np.cumsum(is_pb) - is_pb
     base = np.maximum.accumulate(np.where(_doc_starts(doc_s), cs, 0))
     seg = cs - base
-    order1 = np.lexsort((off_s, _RANK[kid_s], seg, doc_s))
-    perm = order0[order1]
-
-    kid_p = kid[perm]
-    doc_p = doc_idx[perm]
-    text_p = pc.take(text, pa.array(perm))
+    rank_s = _RANK[kid_s]
+    if _is_sorted(doc_s, seg, rank_s, off_s):
+        perm = order0  # may be None (fully identity)
+        kid_p, doc_p = kid_s, doc_s
+    else:
+        order1 = np.lexsort((off_s, rank_s, seg, doc_s))
+        perm = order0[order1] if order0 is not None else order1
+        kid_p = kid[perm]
+        doc_p = doc_idx[perm]
+    text_p = text if perm is None else pc.take(text, pa.array(perm))
 
     # step 4: boilerplate strip
     drop = _BOILER[kid_p]
@@ -118,7 +141,8 @@ def extract_values_arrow(
     keep = ~drop
     kid_k = kid_p[keep]
     doc_k = doc_p[keep]
-    sel = perm[keep]  # indices into the ORIGINAL arrays
+    # indices into the ORIGINAL arrays
+    sel = np.flatnonzero(keep) if perm is None else perm[keep]
     if len(sel) == 0:
         empty_s = pa.array([], type=pa.string())
         return (
