@@ -22,6 +22,7 @@ from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators.merge import merge_markdown
 from .spanify import SPANIFY_SQL, spanify, spanify_exploded
+from .streaming import windows as _win
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -334,9 +335,6 @@ def q_top_customers(spark, sf_dir):
 
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
-
-
-from .streaming import windows as _win  # noqa: E402
 
 
 @register("hourly_rollup", _win.HOURLY_ROLLUP_SQL)
