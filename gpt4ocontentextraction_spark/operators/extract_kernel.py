@@ -67,6 +67,11 @@ import numpy as np
 import pandas as pd
 
 BOILERPLATE_KINDS = ("nav", "footer", "ad", "script")
+KNOWN_KINDS = (
+    "text", "heading1", "heading2", "table_row", "chart", "figure",
+    "nav", "footer", "ad", "script", "column_left", "column_right",
+    "page_break",
+)
 LINK_RE = re.compile(r"\[[^\]]*\]\([^)]*\)")
 LINK_DENSITY_MAX = 0.5
 
@@ -146,6 +151,11 @@ def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
             "media_ref": flat["media_ref"].to_numpy()[order0][order1],
         }
     )
+    # unknown kinds are treated as plain text (robust default; the arrow
+    # kernel does the same via its dictionary lookup)
+    known = df["kind"].isin(KNOWN_KINDS)
+    if not known.all():
+        df.loc[~known, "kind"] = "text"
 
     # -- step 4: boilerplate strip (tagged kinds + link-density on text).
     k = df["kind"]

@@ -73,3 +73,26 @@ def test_arrow_kernel_edge_batches():
     assert out[0]["spans"] == [
         {"kind": "media", "text": "c", "media_ref": "", "offset": 0}
     ]
+
+
+def test_unknown_kinds_treated_as_text_in_both_kernels():
+    rows = [{"doc_id": "u", "spans": [
+        {"kind": "mystery", "text": "  ", "media_ref": "", "offset": 0},
+        {"kind": "mystery", "text": "hello", "media_ref": "", "offset": 1},
+        {"kind": "weird", "text": "[x](y)", "media_ref": "", "offset": 2},
+    ]}]
+    span_t = pa.struct([
+        pa.field("kind", pa.string()), pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()), pa.field("offset", pa.int32()),
+    ])
+    schema = pa.schema(
+        [pa.field("doc_id", pa.string()), pa.field("spans", pa.list_(span_t))]
+    )
+    b = pa.RecordBatch.from_pylist(rows, schema=schema)
+    a = _extract_batch(b).to_pylist()
+    p = _extract_batch_pandas(b).to_pylist()
+    assert a == p
+    # blank + link-dense unknowns dropped like text; content kept as text
+    assert a[0]["spans"] == [
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 0}
+    ]
