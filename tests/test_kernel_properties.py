@@ -36,7 +36,8 @@ def _spans(draw_kinds):
 
 @st.composite
 def documents(draw):
-    spans = draw(_spans(st.sampled_from(INPUT_KINDS)))
+    # include out-of-vocabulary kinds: spec says unknown == text
+    spans = draw(_spans(st.sampled_from(INPUT_KINDS + ("mystery", "x"))))
     # offsets: unique, shuffled
     offsets = draw(
         st.permutations(range(len(spans)))
