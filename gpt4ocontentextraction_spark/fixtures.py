@@ -192,7 +192,54 @@ def _empty_and_edge(b: _DocBuilder, rng: random.Random) -> None:
         b.inp("text", "   ")  # blank: dropped
 
 
+def _mixed(b: _DocBuilder, rng: random.Random) -> None:
+    """Cross-feature pages: boilerplate + two columns + a table whose rows
+    are PHYSICALLY interleaved with column spans (y-sorted extraction
+    order) but reunite into one pipe table in reading order, plus media."""
+    for pg in range(rng.randint(2, 3)):
+        title = f"Mixed {pg + 1} " + _words(rng, 2)
+        lead = _words(rng, 10)
+        rows = ["h1\th2"] + [
+            f"{rng.randint(0, 99)}\t{rng.randint(0, 99)}"
+            for _ in range(rng.randint(1, 3))
+        ]
+        caption = "chart " + _words(rng, 2)
+        ref = f"media://{b.doc_id}/p{pg}"
+        left = [_words(rng, 8) for _ in range(2)]
+        right = [_words(rng, 8) for _ in range(2)]
+
+        # expected reading order: all full-width content (in offset order),
+        # then left column, then right, then the page break
+        b.exp("heading", "# " + title)
+        b.exp("text", lead)
+        b.exp("table", _pipe_table(rows))
+        b.exp("media", caption, ref)
+        for t in left:
+            b.exp("text", t)
+        for t in right:
+            b.exp("text", t)
+        b.exp("page_break", f"||{pg + 1}||")
+
+        # physical emission interleaves columns between the table rows and
+        # sprinkles boilerplate that must vanish
+        b.inp("nav", "home | about")
+        b.inp("heading1", title)
+        b.inp("text", lead)
+        b.inp("table_row", rows[0])
+        b.inp("column_left", left[0])
+        for r in rows[1:]:
+            b.inp("table_row", r)
+        b.inp("column_right", right[0])
+        b.inp("chart", caption, ref)
+        b.inp("column_left", left[1])
+        b.inp("text", "[ad](http://x) [ad2](http://y)")  # link-dense: dropped
+        b.inp("column_right", right[1])
+        b.inp("footer", "(c) corp")
+        b.inp("page_break", f"||{pg + 1}||")
+
+
 FIXTURE_CLASSES = {
+    "mixed": _mixed,
     "html_boilerplate": _html_boilerplate,
     "pdf_two_column": _pdf_two_column,
     "pdf_table_chart": _pdf_table_chart,
