@@ -57,9 +57,14 @@ def scan_binary_dir(
 def create_or_replace_table(
     spark: SparkSession, name: str, ddl_columns: str, location: str | None = None
 ) -> None:
-    """S8: delete+create index DDL -> CREATE OR REPLACE TABLE."""
-    using = "iceberg" if iceberg_available(spark) else "parquet"
+    """S8: delete+create index DDL. With an Iceberg catalog this is one
+    atomic CREATE OR REPLACE TABLE; the v1 parquet fallback emulates the
+    reference's explicit delete-then-create (doc2md_utils.py:231-262)."""
     loc = f" LOCATION '{location}'" if location else ""
-    spark.sql(
-        f"CREATE OR REPLACE TABLE {name} ({ddl_columns}) USING {using}{loc}"
-    )
+    if iceberg_available(spark):
+        spark.sql(
+            f"CREATE OR REPLACE TABLE {name} ({ddl_columns}) USING iceberg{loc}"
+        )
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"CREATE TABLE {name} ({ddl_columns}) USING parquet{loc}")
