@@ -47,7 +47,7 @@ def documents(draw):
     return spans
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(documents())
 def test_kernel_invariants(spans):
     out = extract_document(spans)
@@ -74,7 +74,7 @@ def test_kernel_invariants(spans):
     assert extract_document(spans) == out
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(documents(), documents())
 def test_arrow_pandas_agree_on_arbitrary_input(a, b):
     import pyarrow as pa
