@@ -253,9 +253,9 @@ def q_parse_doc_id(spark, sf_dir):
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-  round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS sum_qty,
-  round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-        * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS revenue,
+  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
   COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1995-09-02'
@@ -273,8 +273,10 @@ def q_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1995-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(q), 2).alias("sum_qty"),
-            F.round(F.sum(p * (1 - d)), 2).alias("revenue"),
+            # decimal sums for order-independence; cast the *output* to
+            # double so the representation matches the oracle's DOUBLE
+            F.round(F.sum(q), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(p * (1 - d)), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -289,7 +291,7 @@ WITH rev AS (
 ),
 ranked AS (
   SELECT n.n_name AS nation, c.c_name AS customer,
-         round(r.revenue, 2) AS revenue,
+         CAST(round(r.revenue, 2) AS DOUBLE) AS revenue,
          ROW_NUMBER() OVER (PARTITION BY n.n_name
                             ORDER BY r.revenue DESC, c.c_custkey) AS rk
   FROM rev r
@@ -322,7 +324,7 @@ def q_top_customers(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.col("c_name").alias("customer"),
-            F.round("revenue", 2).alias("revenue"),
+            F.round("revenue", 2).cast("double").alias("revenue"),
             F.col("rk").cast("long").alias("rk"),
         )
     )
@@ -357,7 +359,7 @@ def q_sessionize(spark, sf_dir):
 SELECT COALESCE(event_type, '<all>') AS event_type,
        COALESCE(CAST(user_id % 4 AS VARCHAR), '<all>') AS user_bucket,
        COUNT(*) AS n_events,
-       round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS sum_value
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
 """,
@@ -374,7 +376,7 @@ def q_events_cube(spark, sf_dir):
         e.cube("event_type", "user_bucket")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("v"), 2).alias("sum_value"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
         )
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),

@@ -33,9 +33,11 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
-                "sum_value"
-            ),
+            # decimal sum for order-independence, double output to match
+            # the oracle's representation (the driver hashes repr)
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -50,7 +52,7 @@ HOURLY_ROLLUP_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        COUNT(*) AS n_events,
-       round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS sum_value
+       CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -107,9 +109,9 @@ def stream_hourly_rollup(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
-                "sum_value"
-            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),

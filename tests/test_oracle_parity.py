@@ -22,6 +22,12 @@ def _canon(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    # Surface type-representation drift the driver's hash gate would catch:
+    # Decimal vs float compare equal in Python but hash-differ on the driver.
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return ("DECIMAL", str(v))
     return v
 
 
