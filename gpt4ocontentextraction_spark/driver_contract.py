@@ -546,8 +546,18 @@ def q_simhash(spark, sf_dir):
 
 @register("simhash_pairs", dedup.SIMHASH_PAIRS_SQL)
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs, hamming <= 8, bounded id range."""
+    """SimHash exact pairs over a bounded id block (verification utility;
+    the production path is simhash_pairs_banded)."""
     return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register("simhash_pairs_banded", dedup.SIMHASH_PAIRS_BANDED_SQL)
+def q_simhash_pairs_banded(spark, sf_dir):
+    """Production SimHash near-dup: banded equality-join candidates +
+    exact hamming verify, UNCAPPED corpus. Oracle is exact all-pairs —
+    equality proves banded recall=1 at hamming <= 3 (pigeonhole, 4 bands).
+    Plan contains no nested-loop join (pinned in tests/test_plans.py)."""
+    return dedup.simhash_pairs_banded(_docs(spark, sf_dir))
 
 
 @register("ngram_jaccard", dedup.NGRAM_JACCARD_SQL)
@@ -683,8 +693,18 @@ def q_ivf_topk(spark, sf_dir):
 
 @register("embedding_neardup", retrieval.EMBEDDING_NEARDUP_SQL)
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (sim >= 0.8, bounded block)."""
+    """Embedding-cosine near-dup pairs (sim >= 0.8, bounded block) —
+    verification utility; production path is embedding_neardup_lsh."""
     return retrieval.embedding_neardup_pairs(spark, sf_dir)
+
+
+@register("embedding_neardup_lsh", retrieval.EMBEDDING_NEARDUP_LSH_SQL)
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Production embedding near-dup: hyperplane-LSH banded candidates +
+    exact-cosine verify, UNCAPPED variant corpus. Oracle is exact
+    all-pairs cosine — equality proves LSH recall=1 on this corpus at the
+    0.99 threshold. No nested-loop join (pinned in tests/test_plans.py)."""
+    return retrieval.embedding_neardup_lsh(spark, sf_dir)
 
 
 @register("keyword_topk", retrieval.KEYWORD_TOPK_SQL)

@@ -13,9 +13,16 @@ Scale posture:
   candidates. Band/row choice (8 bands x 2 rows) puts the S-curve knee
   near 0.5 so pairs at the 0.6 output threshold are caught w.p.
   1-(1-0.36)^8 ~ 0.97+, and near-identical variants w.p. ~1-3.5e-5.
-- SimHash: 32-bit fingerprints; candidate pairing by fingerprint equality
-  on rotated bands would be the 100TB path; here pairs are bounded by a
-  doc_id cap for the oracle comparison.
+- SimHash: 32-bit fingerprints; the production candidate generator is
+  ``simhash_pairs_banded`` — split the fingerprint into B bit-bands and
+  equality-join on (band_idx, band_bits). By pigeonhole, two fingerprints
+  at hamming distance d agree exactly on some band whenever B > d, so
+  4 bands guarantee recall=1 at d <= 3; the gate proves it by equality
+  with the exact all-pairs oracle over the full (uncapped) variant
+  corpus. At real scale you widen to 64-bit fingerprints with 4 x 16-bit
+  bands (same B > d guarantee, 65536-value bands keep buckets tiny).
+  ``simhash_pairs`` (bounded all-pairs) remains only as a verification
+  utility for spot-checking small id blocks.
 """
 
 from __future__ import annotations
@@ -211,7 +218,66 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_DIST = 3  # pigeonhole: BANDS > MAX_DIST => banded recall = 1
+
+
+def simhash_pairs_banded(
+    docs: DataFrame, max_dist: int = SIMHASH_MAX_DIST
+) -> DataFrame:
+    """Production SimHash near-dup: equality-join candidate generation.
+
+    Explode each fingerprint into (band_idx, band_bits) keys; two docs
+    become a candidate pair iff they share a band key — an equality
+    (shuffle hash / sort-merge) self-join, never a nested loop. Exact
+    hamming distance is then verified on candidates only. Pigeonhole
+    guarantees recall=1 for hamming <= BANDS-1, which the gate proves by
+    equality with the exact all-pairs oracle over the same corpus.
+
+    Runs over the deterministic variant corpus (base docs + truncated
+    variants) so true near-dup pairs exist at gate scale.
+    """
+    fp = simhash_fingerprints(_variant_corpus(docs))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_expr = (
+        f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> concat_ws('_',"
+        f" cast(b as string),"
+        f" cast((shiftright(simhash, b * {SIMHASH_BAND_BITS}) & {mask})"
+        f" as string)))"
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(F.expr(band_expr)).alias("band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("fp_a"),
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("fp_b"),
+        "band_key",
+    )
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        .cast("long")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_dist)
+
+
 def simhash_pairs(docs: DataFrame, max_doc_id: int = 300, max_dist: int = 8) -> DataFrame:
+    """Exact all-pairs hamming over a small id block — a VERIFICATION
+    utility (e.g. auditing banded recall on a sample), never the
+    production path; see simhash_pairs_banded."""
     fp = simhash_fingerprints(docs.filter(F.col("doc_id") < max_doc_id))
     a, b = fp.alias("a"), fp.alias("b")
     return (
@@ -229,10 +295,14 @@ def simhash_pairs(docs: DataFrame, max_doc_id: int = 300, max_dist: int = 8) -> 
 
 from ..functions.hashing import duck_polyhash  # noqa: E402
 
-_DUCK_SIMHASH_BASE = f"""
+
+def _duck_simhash_base(src: str) -> str:
+    """DuckDB CTE chain computing 32-bit simhash fingerprints over ``src``
+    (a relation with doc_id, text) — the same arithmetic as _SIMHASH_EXPR."""
+    return f"""
 words AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, UNNEST(string_split(text, ' ')) AS w
-  FROM documents
+  FROM {src}
 ),
 whash AS (
   SELECT doc_id, {duck_polyhash('w')} AS h FROM words
@@ -251,6 +321,9 @@ fp AS (
 )
 """
 
+
+_DUCK_SIMHASH_BASE = _duck_simhash_base("documents")
+
 SIMHASH_FP_SQL = f"""
 WITH {_DUCK_SIMHASH_BASE}
 SELECT doc_id, simhash FROM fp
@@ -263,6 +336,18 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE a.doc_id < 300 AND b.doc_id < 300
   AND bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+# Exact all-pairs oracle over the FULL variant corpus (no id cap): banded
+# equality with this proves the candidate generation loses nothing at
+# hamming <= SIMHASH_MAX_DIST.
+SIMHASH_PAIRS_BANDED_SQL = f"""
+WITH {DUCK_VARIANT_CORPUS.strip()},
+{_duck_simhash_base('corpus').strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DIST}
 """
 
 

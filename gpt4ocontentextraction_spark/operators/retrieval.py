@@ -136,10 +136,134 @@ LIMIT 5
 """
 
 
+# --- Hyperplane-LSH embedding near-dup (the production path) ---------------
+#
+# Candidate generation: K deterministic pseudo-random hyperplanes; each
+# vector's signature is the K sign bits of its projections, split into
+# EMB_BANDS bands of EMB_BAND_BITS bits. Two vectors are candidates iff
+# some band matches exactly (equality self-join — never a nested loop).
+# Exact cosine is then verified on candidates only. Unlike SimHash bands
+# there is no pigeonhole guarantee (bits are independent projections),
+# but at the 0.99 threshold a pair differs per bit w.p. theta/pi ~ 0.005,
+# so P(miss) ~ (1-(1-0.005)^8)^4 ~ 3e-6 per true pair; the gate proves
+# recall=1 on the corpus by equality with the exact all-pairs oracle.
+# At 100 TB the verify join touches only candidate pairs; bucket sizes are
+# n / 2^EMB_BAND_BITS per band on random data.
+
+EMB_PLANES = 32
+EMB_BANDS = 4
+EMB_BAND_BITS = 8
+EMB_NEARDUP_THRESHOLD = 0.99
+_EMB_P = 1_000_003
+
+
+def _plane(k: str, j: str) -> str:
+    """Deterministic hyperplane weight w(k, j) in [-0.5, 0.5)."""
+    return (
+        f"(((9176 * ({k} + 1) + 5171 * ({j} + 1) * ({j} + 1) + 13)"
+        f" % {_EMB_P}) / cast({_EMB_P} as double) - 0.5)"
+    )
+
+
+def _variant_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings + deterministically perturbed near-duplicate variants
+    (cos ~ 0.9998 to their base) — the near-dup testbed both engines
+    construct bit-identically (float->double cast then the same IEEE adds)."""
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    variant = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(v, (x, i) ->"
+            " x + ((vec_id + i) % 7 - 3) * 0.001d)"
+        ).alias("v"),
+    )
+    return base.unionByName(variant)
+
+
+DUCK_VARIANT_EMBEDDINGS = """
+base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+vcorpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(v, (x, i) ->
+           x + ((vec_id + (i - 1)) % 7 - 3) * 0.001) AS v
+  FROM base
+)
+"""
+
+
+def embedding_neardup_lsh(
+    spark, sf_dir, threshold: float = EMB_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Production embedding near-dup: hyperplane-LSH banded candidates +
+    exact-cosine verify over the (uncapped) variant corpus."""
+    vecs = _variant_embeddings(_emb(spark, sf_dir))
+    # sign bits of the K projections; v is a materialized column, so the
+    # per-(k, j) lambda touches only an O(1) element_at (no re-inlined
+    # subexpression — see spanify.py's binding note)
+    sig_expr = (
+        f"transform(sequence(0, {EMB_PLANES - 1}), k ->"
+        f" IF(aggregate(sequence(0, size(v) - 1), 0D,"
+        f" (acc, j) -> acc + element_at(v, j + 1) * {_plane('k', 'j')})"
+        f" > 0D, 1, 0))"
+    )
+    band_expr = (
+        f"transform(sequence(0, {EMB_BANDS - 1}), b -> concat_ws('_',"
+        f" cast(b as string),"
+        f" concat_ws('', transform(slice(sig, b * {EMB_BAND_BITS} + 1,"
+        f" {EMB_BAND_BITS}), x -> cast(x as string)))))"
+    )
+    sigs = vecs.select("vec_id", "v", F.expr(sig_expr).alias("sig"))
+    bands = sigs.select(
+        "vec_id", "v", F.explode(F.expr(band_expr)).alias("band_key")
+    )
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band_key"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "band_key"
+    )
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(F.expr(_cos("va", "vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+EMBEDDING_NEARDUP_LSH_SQL = f"""
+WITH {DUCK_VARIANT_EMBEDDINGS.strip()},
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_duck_cos('a.v', 'b.v')}, 6) AS sim
+  FROM vcorpus a JOIN vcorpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
 def embedding_neardup_pairs(
     spark, sf_dir, max_id: int = 200, threshold: float = 0.8
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs in a bounded id block."""
+    """Embedding-cosine near-duplicate pairs in a bounded id block — a
+    VERIFICATION utility (recall audits on samples); the production path
+    is embedding_neardup_lsh."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < max_id)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))

@@ -47,6 +47,16 @@ def assert_no_exchange(df: DataFrame) -> None:
     assert "Exchange" not in plan, f"unexpected shuffle:\n{plan}"
 
 
+def assert_no_nested_loop(df: DataFrame) -> None:
+    """No cartesian / nested-loop join anywhere in the plan — the shape
+    that turns a candidate-generation step O(n^2) at scale."""
+    plan = physical_plan(df)
+    assert (
+        "BroadcastNestedLoopJoin" not in plan
+        and "CartesianProduct" not in plan
+    ), f"nested-loop join in plan:\n{plan}"
+
+
 def assert_broadcast_join(df: DataFrame) -> None:
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (

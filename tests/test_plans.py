@@ -46,6 +46,29 @@ def test_resume_join_broadcasts(spark, flat_docs):
     assert_broadcast_join(pending)
 
 
+def test_simhash_banded_has_no_nested_loop(spark, flat_docs):
+    from gpt4ocontentextraction_spark.operators.dedup import (
+        simhash_pairs_banded,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_no_nested_loop,
+    )
+
+    df = simhash_pairs_banded(flat_docs)
+    assert_no_nested_loop(df)
+
+
+def test_embedding_lsh_has_no_nested_loop(spark):
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        embedding_neardup_lsh,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_no_nested_loop,
+    )
+
+    assert_no_nested_loop(embedding_neardup_lsh(spark, SF))
+
+
 def test_extract_plan_is_single_stage(spark, flat_docs):
     from gpt4ocontentextraction_spark.spanify import spanify
 
