@@ -5,15 +5,20 @@ Two strategies, as in the reference's `vectorize_markdown` dispatch
 
 - :func:`page_chunks` — one chunk per page, content prefixed ``||pg||``
   (`vectorize_by_page`, docker/main.py:479-500);
-- :func:`markdown_chunks` — split at level-1 markdown headings into
-  sections, carry the section heading as the chunk title, and split
-  oversized sections into CHUNK_SIZE windows advancing by
-  CHUNK_SIZE - CHUNK_OVERLAP chars (`vectorize_by_markdown`,
-  docker/main.py:502-539: MarkdownHeaderTextSplitter +
-  RecursiveCharacterTextSplitter(8192, 820) with carried last_heading at
-  511,535-537). The reference's recursive splitter prefers separator
-  boundaries; this engine uses a deterministic fixed-stride window — same
-  size/overlap contract, fully relational (and therefore oracle-checkable).
+- :func:`markdown_chunks` — reference-faithful heading chunking
+  (`vectorize_by_markdown`, docker/main.py:502-539): sections split on
+  BOTH '# ' and '## ' headings (headers_to_split_on, main.py:53-58,
+  strip_headers=False so the heading stays in content), oversized
+  sections split into CHUNK_SIZE windows advancing by CHUNK_SIZE -
+  CHUNK_OVERLAP chars, then a per-doc sequential carry over chunks:
+  pg_number updates from the chunk's first ``||N||`` marker only when the
+  chunk doesn't start with ``||`` (main.py:516-518); ``last_heading``
+  lags one chunk (title and prefix use the pre-update value,
+  main.py:521,535-537); content is prefixed
+  ``||{pg-1}||\\n{last_heading}\\n`` (main.py:521). The reference's
+  recursive splitter prefers separator boundaries; this engine uses a
+  deterministic fixed-stride window — same size/overlap contract, fully
+  relational (and therefore oracle-checkable).
 
 Both are pure DataFrame ops (window + groupBy + explode(sequence));
 the groupBy shuffles by (doc_id, page/section) which co-partitions with
@@ -107,22 +112,22 @@ def chunk_dispatch(extracted: DataFrame, file_type_col: str = "file_type") -> Da
 
 
 def markdown_chunks(extracted: DataFrame) -> DataFrame:
-    """Heading-section chunks with size/overlap splitting and title carry."""
-    e = _with_page(exploded_spans(extracted))
-    is_h1 = (F.col("kind") == "heading") & F.col("text").startswith("# ")
+    """Reference-faithful heading-section chunks (see module docstring)."""
+    e = exploded_spans(extracted)
+    is_sec = (F.col("kind") == "heading") & (
+        F.col("text").startswith("# ") | F.col("text").startswith("## ")
+    )
     w_inc = (
         Window.partitionBy("doc_id")
         .orderBy("offset")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    e = e.withColumn("sec", F.sum(is_h1.cast("int")).over(w_inc))
+    e = e.withColumn("sec", F.sum(is_sec.cast("int")).over(w_inc))
     sections = e.groupBy("doc_id", "sec").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(offset as o,"
             " text as t))), x -> x.t), '\n')"
         ).alias("content"),
-        F.max(F.when(is_h1, F.col("text"))).alias("title"),
-        F.min("page").alias("page0"),
     )
     n_chunks = F.greatest(
         F.lit(1),
@@ -131,27 +136,70 @@ def markdown_chunks(extracted: DataFrame) -> DataFrame:
     pieces = sections.select(
         "doc_id",
         "sec",
-        "title",
-        "page0",
         "content",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
     ).select(
         "doc_id",
         "sec",
-        "title",
-        "page0",
         "k",
         F.col("content")
         .substr(F.col("k") * _STRIDE + 1, F.lit(CHUNK_SIZE))
-        .alias("content"),
+        .alias("t"),
+    )
+    # per-chunk signals driving the reference's sequential carry
+    marked = pieces.select(
+        "doc_id",
+        "sec",
+        "k",
+        "t",
+        # last '# ' line of the RAW chunk text (find_last_heading_level_1
+        # over the prefixed text reduces to this, because the prefix's
+        # heading line is the carried value itself)
+        F.try_element_at(
+            F.filter(
+                F.split("t", "\n"), lambda x: x.startswith("# ")
+            ),
+            F.lit(-1),
+        ).alias("h1"),
+        F.when(
+            F.substring("t", 1, 2) != "||",
+            F.nullif(
+                F.regexp_extract("t", r"\|\|(\d+)\|\|", 1), F.lit("")
+            ).cast("long"),
+        ).alias("upd"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("sec", "k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cur = (
+        Window.partitionBy("doc_id")
+        .orderBy("sec", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = marked.select(
+        "doc_id",
+        "sec",
+        "k",
+        "t",
+        F.coalesce(F.last("h1", ignorenulls=True).over(w_prev), F.lit("")).alias("lh"),
+        F.coalesce(F.last("upd", ignorenulls=True).over(w_cur), F.lit(1)).alias("pg"),
     )
     w_chunk = Window.partitionBy("doc_id").orderBy("sec", "k")
     chunk_id = (F.row_number().over(w_chunk) - 1).cast("long")
-    return pieces.select(
+    return carried.select(
         F.concat_ws("-", "doc_id", chunk_id.cast("string")).alias("chunk_doc_id"),
         chunk_id.alias("chunk_id"),
-        (F.col("page0") + 1).cast("long").alias("pg_number"),
+        F.col("pg").cast("long").alias("pg_number"),
         F.col("doc_id").alias("file_name"),
-        "title",
-        "content",
+        F.col("lh").alias("title"),
+        F.concat(
+            F.lit("||"),
+            (F.col("pg") - 1).cast("string"),
+            F.lit("||\n"),
+            F.col("lh"),
+            F.lit("\n"),
+            F.col("t"),
+        ).alias("content"),
     )

@@ -110,9 +110,24 @@ def page_chunks_fused(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "spans").mapInArrow(run, _CHUNKS_DDL)
 
 
+def _seg_cummax_idx(idx: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Running max of `idx` (candidate positions, -1 = none) resetting at
+    each True in `seg_starts` — the vectorized forward-fill used for the
+    reference's sequential last_heading / pg_number carries."""
+    n = len(idx)
+    if n == 0:
+        return idx
+    seg = np.cumsum(seg_starts) - 1
+    base = (n + 1) * seg
+    return np.maximum.accumulate(idx + base) - base
+
+
 def markdown_chunks_fused(documents: DataFrame) -> DataFrame:
-    """C3 fused: heading sections, 8192/820 windows, title carry — same
-    pass as extraction."""
+    """C3 fused: reference-faithful heading chunking (see operators/chunk.py
+    docstring for the spec: '# '/'## ' section splits, 8192/820 windows,
+    lagging last_heading carry, '||pg-1||' content prefix) — in the same
+    Arrow pass as extraction, zero shuffle. Gate-proven equal to the
+    relational markdown_chunks (same DuckDB oracle)."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -125,23 +140,15 @@ def markdown_chunks_fused(documents: DataFrame) -> DataFrame:
             if len(d) == 0:
                 continue
             okind = okind_a.to_numpy(zero_copy_only=False)
-            is_h1 = (okind == "heading") & pc.starts_with(
-                otext, "# "
-            ).to_numpy(zero_copy_only=False)
-            is_pb = okind == "page_break"
-            page = _excl_cumsum_per_doc(is_pb.astype(np.int64), d)
-            sec = _incl_cumsum_per_doc(is_h1.astype(np.int64), d)
+            is_sec = (okind == "heading") & (
+                pc.starts_with(otext, "# ").to_numpy(zero_copy_only=False)
+                | pc.starts_with(otext, "## ").to_numpy(zero_copy_only=False)
+            )
+            sec = _incl_cumsum_per_doc(is_sec.astype(np.int64), d)
 
             gk = d * (sec.max() + 1) + sec
             starts, content = _group_join(otext, gk)
             sec_doc = d[starts]
-            sec_page0 = page[starts] + 1
-            # section title: its first span when that span is a '# ' heading
-            title = pc.if_else(
-                pa.array(is_h1[starts]),
-                pc.take(otext, pa.array(starts)),
-                pa.scalar(None, type=pa.string()),
-            )
             lens = pc.utf8_length(content).to_numpy(zero_copy_only=False)
             n_chunks = np.maximum(
                 1, np.ceil((lens - 820) / float(STRIDE)).astype(np.int64)
@@ -153,18 +160,75 @@ def markdown_chunks_fused(documents: DataFrame) -> DataFrame:
             ) else np.empty(0, dtype=np.int64)
             exp_content = pc.take(content, pa.array(rep))
             # slice per distinct k (few distinct values; scalar bounds = C)
-            out_content = None
+            t_arr = None
             for kv in np.unique(k):
                 sl = pc.utf8_slice_codeunits(
                     exp_content, int(kv) * STRIDE, int(kv) * STRIDE + CHUNK_SIZE
                 )
-                out_content = sl if out_content is None else pc.if_else(
-                    pa.array(k == kv), sl, out_content
+                t_arr = sl if t_arr is None else pc.if_else(
+                    pa.array(k == kv), sl, t_arr
                 )
+            nc = len(rep)
             chunk_doc = sec_doc[rep]
-            chunk_id = np.arange(len(rep), dtype=np.int64)
+            chunk_starts = _doc_starts(chunk_doc)
+
+            # --- per-chunk signals (all Arrow/numpy, no per-row Python) ---
+            # h1: last line of the raw chunk starting with '# '
+            lines = pc.split_pattern(t_arr, "\n")
+            line_vals = lines.values
+            line_lens = np.diff(lines.offsets.to_numpy())
+            flat_mask = pc.starts_with(line_vals, "# ").to_numpy(
+                zero_copy_only=False
+            )
+            nfl = len(line_vals)
+            flat_idx = np.where(flat_mask, np.arange(nfl), -1)
+            line_starts = np.zeros(nfl, dtype=bool)
+            line_starts[np.r_[0, np.cumsum(line_lens)[:-1]]] = True
+            run_h = _seg_cummax_idx(flat_idx, line_starts)
+            ends = np.cumsum(line_lens) - 1
+            h1_idx = run_h[ends]  # per chunk: flat idx of last '# ' line
+            # upd: first ||N|| marker, suppressed when chunk starts with '||'
+            m = pc.extract_regex(t_arr, r"\|\|(?P<n>\d+)\|\|")
+            m_valid = m.is_valid().to_numpy(zero_copy_only=False)
+            t_pipes = pc.starts_with(t_arr, "||").to_numpy(
+                zero_copy_only=False
+            )
+            upd_valid = m_valid & ~t_pipes
+            upd_vals = np.where(
+                m_valid,
+                pc.cast(
+                    pc.fill_null(pc.struct_field(m, "n"), "0"), pa.int64()
+                ).to_numpy(zero_copy_only=False),
+                0,
+            )
+
+            # --- per-doc sequential carries over chunks in order ---
+            run_lh = _seg_cummax_idx(
+                np.where(h1_idx >= 0, np.arange(nc), -1), chunk_starts
+            )
+            # last_heading lags one chunk (pre-update value)
+            prev_lh = np.r_[-1, run_lh[:-1]]
+            prev_lh[chunk_starts] = -1
+            run_pg = _seg_cummax_idx(
+                np.where(upd_valid, np.arange(nc), -1), chunk_starts
+            )
+            pg = np.where(run_pg >= 0, upd_vals[np.maximum(run_pg, 0)], 1)
+
+            lh_flat_idx = np.where(
+                prev_lh >= 0, h1_idx[np.maximum(prev_lh, 0)], 0
+            )
+            lh = pc.fill_null(
+                pc.take(line_vals, pa.array(lh_flat_idx, mask=prev_lh < 0)),
+                "",
+            )
+            pg_m1_str = pc.cast(pa.array(pg - 1), pa.string())
+            out_content = pc.binary_join_element_wise(
+                "||", pg_m1_str, "||\n", lh, "\n", t_arr, ""
+            )
+
+            chunk_id = np.arange(nc, dtype=np.int64)
             chunk_id -= np.maximum.accumulate(
-                np.where(_doc_starts(chunk_doc), chunk_id, 0)
+                np.where(chunk_starts, chunk_id, 0)
             )
             doc_str = pc.take(doc_id, pa.array(chunk_doc))
             cid = pa.array(chunk_id)
@@ -174,9 +238,9 @@ def markdown_chunks_fused(documents: DataFrame) -> DataFrame:
                         doc_str, pc.cast(cid, pa.string()), "-"
                     ),
                     cid,
-                    pa.array(sec_page0[rep].astype(np.int64)),
+                    pa.array(pg.astype(np.int64)),
                     doc_str,
-                    pc.take(title, pa.array(rep)),
+                    lh,
                     out_content,
                 ],
                 names=[

@@ -139,37 +139,61 @@ page_chunks AS (
 """
 PAGE_CHUNKS_SQL = EXTRACT_SQL + _PAGE_CHUNKS_SUFFIX
 
-# C3: markdown-heading chunking with 8192/820 windows and title carry
-# (vectorize_by_markdown, docker/main.py:502-539).
+# C3: markdown-heading chunking, reference-faithful (vectorize_by_markdown,
+# docker/main.py:502-539 with headers_to_split_on at 53-58):
+#  - sections split on BOTH '# ' and '## ' headings (header kept in content);
+#  - fixed 8192/820 windows per section (deterministic stand-in for the
+#    recursive splitter's boundary preference — same size contract);
+#  - a per-doc sequential carry over chunks in (sec, k) order replicating
+#    the reference loop: pg_number updates from the chunk's first ||N||
+#    marker ONLY when the chunk doesn't start with '||' (main.py:516-518);
+#    last_heading lags one chunk behind (title + content prefix use the
+#    PRE-update value, main.py:521,535-537); every chunk's content is
+#    prefixed '||{pg-1}||\n{last_heading}\n' (main.py:521).
 _MD_CHUNKS_SUFFIX = """,
-mc_paged AS (
+mc_secs AS (
   SELECT *,
-    COALESCE(SUM(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
-      OVER (PARTITION BY doc_id ORDER BY "offset"
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page,
-    SUM(CASE WHEN kind = 'heading' AND text LIKE '# %' THEN 1 ELSE 0 END)
+    SUM(CASE WHEN kind = 'heading'
+              AND (text LIKE '# %' OR text LIKE '## %') THEN 1 ELSE 0 END)
       OVER (PARTITION BY doc_id ORDER BY "offset"
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sec
   FROM extracted
 ),
 sections AS (
   SELECT doc_id, sec,
-    string_agg(text, chr(10) ORDER BY "offset") AS content,
-    max(CASE WHEN kind = 'heading' AND text LIKE '# %' THEN text END) AS title,
-    min(page) AS page0
-  FROM mc_paged GROUP BY doc_id, sec
+    string_agg(text, chr(10) ORDER BY "offset") AS content
+  FROM mc_secs GROUP BY doc_id, sec
 ),
 md_ranges AS (
-  SELECT doc_id, sec, title, page0,
+  SELECT doc_id, sec,
     UNNEST(range(greatest(1,
       CAST(ceil((length(content) - 820) / 7372.0) AS BIGINT)))) AS k,
     content AS full_content
   FROM sections
 ),
 md_pieces AS (
-  SELECT doc_id, sec, title, page0, k,
-    substr(full_content, CAST(k * 7372 + 1 AS BIGINT), 8192) AS content
+  SELECT doc_id, sec, k,
+    substr(full_content, CAST(k * 7372 + 1 AS BIGINT), 8192) AS t
   FROM md_ranges
+),
+md_marked AS (
+  SELECT doc_id, sec, k, t,
+    list_filter(string_split(t, chr(10)), x -> x LIKE '# %')[-1] AS h1,
+    CASE WHEN substr(t, 1, 2) <> '||' THEN
+      TRY_CAST(NULLIF(regexp_extract(t, '\\|\\|(\\d+)\\|\\|', 1), '')
+               AS BIGINT)
+    END AS upd
+  FROM md_pieces
+),
+md_carried AS (
+  SELECT doc_id, sec, k, t,
+    COALESCE(LAST_VALUE(h1 IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY sec, k
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '') AS lh,
+    COALESCE(LAST_VALUE(upd IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY sec, k
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS pg
+  FROM md_marked
 ),
 md_chunks AS (
   SELECT
@@ -177,11 +201,12 @@ md_chunks AS (
       (PARTITION BY doc_id ORDER BY sec, k) - 1 AS VARCHAR) AS chunk_doc_id,
     CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sec, k) - 1 AS BIGINT)
       AS chunk_id,
-    CAST(page0 + 1 AS BIGINT) AS pg_number,
+    CAST(pg AS BIGINT) AS pg_number,
     doc_id AS file_name,
-    title,
-    content
-  FROM md_pieces
+    lh AS title,
+    '||' || CAST(pg - 1 AS VARCHAR) || '||' || chr(10) || lh || chr(10) || t
+      AS content
+  FROM md_carried
 )
 """
 MD_CHUNKS_SQL = EXTRACT_SQL + _MD_CHUNKS_SUFFIX

@@ -20,6 +20,12 @@ def _chunks(spark, classes):
     return markdown_chunks(extract(corpus_to_spark(spark, pdf))).collect()
 
 
+def _raw(c):
+    """Window text after the reference's '||pg-1||\\n{last_heading}\\n'
+    prefix (docker/main.py:521)."""
+    return c["content"].split("\n", 2)[2]
+
+
 def test_markdown_chunk_window_math(spark):
     rows = _chunks(spark, ("docx_headings",))
     assert rows
@@ -32,23 +38,39 @@ def test_markdown_chunk_window_math(spark):
         # ids dense from 0
         assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
         for c in chunks:
-            assert len(c["content"]) <= CHUNK_SIZE
+            prefix = f"||{c['pg_number'] - 1}||\n{c['title']}\n"
+            assert c["content"].startswith(prefix)
+            assert len(_raw(c)) <= CHUNK_SIZE
             assert c["chunk_doc_id"] == f"{doc}-{c['chunk_id']}"
-        # consecutive chunks of the same section overlap by CHUNK_OVERLAP
+        # at least one full window whose successor repeats the 820-char
+        # overlap (consecutive windows of one section)
         for a, b in zip(chunks, chunks[1:]):
-            if a["title"] == b["title"] and len(a["content"]) == CHUNK_SIZE:
+            ra, rb = _raw(a), _raw(b)
+            if len(ra) == CHUNK_SIZE and rb[:CHUNK_OVERLAP] == ra[-CHUNK_OVERLAP:]:
                 saw_split = True
-                assert a["content"][-CHUNK_OVERLAP:] == b["content"][:CHUNK_OVERLAP]
     assert saw_split, "fixture should force at least one 8192/820 split"
 
 
-def test_title_carry(spark):
+def test_title_lags_one_chunk(spark):
+    """Reference semantics: title/prefix use last_heading BEFORE the
+    current chunk updates it (docker/main.py:521,535-537)."""
     rows = _chunks(spark, ("docx_headings",))
+    by_doc: dict[str, list] = {}
     for r in rows:
-        assert r["title"] is None or r["title"].startswith("# ")
-        if r["title"]:
-            # the carried title is the section's own heading line
-            assert r["content"].startswith(r["title"]) or r["chunk_id"] > 0
+        by_doc.setdefault(r["file_name"], []).append(r)
+    saw_heading = False
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert chunks[0]["title"] == ""  # nothing carried yet
+        for a, b in zip(chunks, chunks[1:]):
+            h1s = [ln for ln in _raw(a).split("\n") if ln.startswith("# ")]
+            expected = h1s[-1] if h1s else a["title"]
+            assert b["title"] == expected
+            if h1s:
+                saw_heading = True
+        for c in chunks:
+            assert c["title"] == "" or c["title"].startswith("# ")
+    assert saw_heading, "fixture should contain level-1 headings"
 
 
 def test_page_chunks_marker_prefix(spark):
