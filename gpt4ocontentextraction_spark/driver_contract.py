@@ -707,6 +707,21 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return retrieval.embedding_neardup_lsh(spark, sf_dir)
 
 
+@register("bm25_topk", retrieval.BM25_TOPK_SQL)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-5 (tf, idf, length norm — the keyword half of the
+    reference's hybrid query, docker/main.py:802-813)."""
+    return retrieval.bm25_topk(_docs(spark, sf_dir))
+
+
+@register("hybrid_topk", retrieval.HYBRID_RRF_SQL)
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid top-5: reciprocal-rank fusion of BM25 and cosine rankings
+    (the reference's keyword+vector+semantic-rerank analog,
+    test-query.ipynb cell-4)."""
+    return retrieval.hybrid_rrf_topk(spark, sf_dir)
+
+
 @register("keyword_topk", retrieval.KEYWORD_TOPK_SQL)
 def q_keyword_topk(spark, sf_dir):
     """Q2: exact term-hit keyword top-5."""

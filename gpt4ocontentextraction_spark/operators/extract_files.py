@@ -10,15 +10,23 @@ JVM boundary (only paths and per-file metrics do). This is the pattern
 native-engine vendors use to push whole stages out of the JVM, expressed
 with plain mapInArrow over a paths DataFrame.
 
-Fault tolerance: output files are written to `<name>.inprogress` and
-renamed on completion, so a retried task never exposes a torn file; the
-snapshot commit (sources/snapshots.py) publishes the directory only after
-every file reports back.
+Fault tolerance — the CORRECTNESS mechanism is the snapshot manifest, not
+rename: callers route visibility through :func:`run_file_extraction`,
+which writes into an uncommitted SnapshotTable commit dir and publishes
+the manifest only after every file reports back, so a crashed or torn run
+is never visible to readers (object-store safe: no rename in the commit
+path). Within the uncommitted dir, each task attempt additionally writes
+to a unique ``.inprogress-*`` temp and renames into place — POSIX-only
+hygiene that stops two racing attempts of the same task from interleaving
+bytes into one file; on object stores (where PUT is already atomic per
+object) the rename degrades to copy+delete but correctness never depended
+on it.
 """
 
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -56,18 +64,17 @@ def extract_parquet_files(
             for name in b.column("name").to_pylist():
                 src = os.path.join(input_dir, name)
                 dst = os.path.join(output_dir, name)
-                tmp = dst + ".inprogress"
+                tmp = f"{dst}.inprogress-{uuid.uuid4().hex}"
                 table = pq.read_table(src)
                 out_batches = [
                     _extract_batch(x)
                     for x in table.to_batches(max_chunksize=batch_rows)
                 ]
-                out = pa.Table.from_batches(
-                    out_batches,
-                    schema=out_batches[0].schema if out_batches else None,
-                )
+                from .extract import _OUT_SCHEMA
+
+                out = pa.Table.from_batches(out_batches, schema=_OUT_SCHEMA)
                 pq.write_table(out, tmp)
-                os.rename(tmp, dst)
+                os.rename(tmp, dst)  # attempt-race hygiene only (see module doc)
                 n_spans = sum(
                     len(x.column("spans").flatten()) for x in out_batches
                 )
@@ -89,3 +96,40 @@ def extract_parquet_files(
                 )
 
     return paths.mapInArrow(run, METRICS_DDL)
+
+
+def run_file_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    table,
+    run_id: str | None = None,
+    batch_rows: int = 8192,
+) -> str:
+    """Object-store-safe commit wrapper: extract every file into an
+    UNCOMMITTED SnapshotTable commit dir, then publish the manifest once
+    all per-file metrics have reported back. Readers resolve the manifest
+    (table.read()), so a crash mid-run leaves nothing visible and a re-run
+    under a new run_id replaces nothing — rename atomicity is not part of
+    the correctness argument.
+
+    ``table`` is a sources.snapshots.SnapshotTable.
+    """
+    commit_id = f"c-{run_id or uuid.uuid4().hex}"
+    out_dir = os.path.join(table.data_dir, commit_id)
+    if os.path.exists(out_dir):
+        if commit_id in {
+            os.path.basename(d) for d in table.committed_dirs()
+        }:
+            raise ValueError(f"run_id {run_id} is already committed")
+        import shutil
+
+        shutil.rmtree(out_dir)  # crashed uncommitted attempt: safe to clear
+    metrics = extract_parquet_files(
+        spark, input_dir, out_dir, batch_rows=batch_rows
+    ).collect()
+    n_docs = sum(m["n_docs"] for m in metrics)
+    table._publish(
+        commit_id,
+        {"run_id": run_id, "n_docs": n_docs, "n_files": len(metrics)},
+    )
+    return commit_id

@@ -308,3 +308,188 @@ KEYWORD_TOPK_SQL = (
     + "], w))) AS BIGINT) AS score"
     " FROM documents ORDER BY score DESC, doc_id ASC LIMIT 5"
 )
+
+
+# --- BM25 + hybrid reciprocal-rank fusion (the reference's query shape) ----
+#
+# The reference's retrieval is hybrid: VectorizedQuery + keyword search +
+# semantic reranking, fused by the search service (test-query.ipynb cell-4
+# `query_type='semantic'`; docker/main.py:802-813 keyword `top=5`). The
+# data semantics this engine owns: a BM25 lexical scorer (tf, idf, length
+# norm — Robertson/Sparck-Jones as used by Lucene: idf = ln((N-df+.5)/
+# (df+.5)+1), k1=1.2, b=0.75) and reciprocal-rank fusion of the BM25 and
+# cosine rankings (RRF, Cormack et al. 2009: sum 1/(60+rank)).
+#
+# All arithmetic is JVM expressions; the integer stats (tf, df, dl, N) are
+# exact on both engines, so the double formula evaluates bit-identically.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+def _bm25_term(tf: str, df: str, n: str, dl: str, avgdl: str) -> str:
+    """One query term's BM25 contribution; identical text runs on Spark
+    and DuckDB (all refs pre-cast to double)."""
+    return (
+        f"ln(({n} - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+        f" * (({tf} * {BM25_K1 + 1.0!r})"
+        f" / ({tf} + {BM25_K1!r} * (1.0 - {BM25_B!r}"
+        f" + {BM25_B!r} * ({dl} / {avgdl}))))"
+    )
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for the fixed KEYWORDS query over documents."""
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", " ").alias("ws"),
+    )
+    per_doc = toks.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(ws, w -> w = '{t}'))")
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(KEYWORDS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),  # exact integer sum: order-independent
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(KEYWORDS))
+        ],
+    )
+    avgdl = "(cast(sum_dl as double) / cast(n_docs as double))"
+    terms = [
+        _bm25_term(
+            f"cast(tf{i} as double)",
+            f"cast(df{i} as double)",
+            "cast(n_docs as double)",
+            "cast(dl as double)",
+            avgdl,
+        )
+        for i in range(len(KEYWORDS))
+    ]
+    return per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.expr(" + ".join(terms)).alias("bm25")
+    )
+
+
+def bm25_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """BM25 lexical top-k for the fixed KEYWORDS query."""
+    return (
+        _bm25_scores(docs)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _duck_bm25_ctes() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(ws, w -> w = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(KEYWORDS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(KEYWORDS))
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    terms = " + ".join(
+        _bm25_term(
+            f"CAST(tf{i} AS DOUBLE)",
+            f"CAST(df{i} AS DOUBLE)",
+            "CAST(n_docs AS DOUBLE)",
+            "CAST(dl AS DOUBLE)",
+            avgdl,
+        )
+        for i in range(len(KEYWORDS))
+    )
+    return f"""
+per_doc AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(ws) AS BIGINT) AS dl, {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl, {df_cols} FROM per_doc
+),
+bm AS (
+  SELECT doc_id, {terms} AS bm25 FROM per_doc, stats
+)
+"""
+
+
+BM25_TOPK_SQL = f"""
+WITH {_duck_bm25_ctes().strip()}
+SELECT doc_id, round(bm25, 6) AS bm25 FROM bm
+ORDER BY bm25 DESC, doc_id ASC LIMIT 5
+"""
+
+
+def hybrid_rrf_topk(spark, sf_dir, k: int = 5, query_id: int = 0) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
+    the cosine ranking against the embedding of vec_id=query_id (the
+    engine analog of the reference's keyword+vector+rerank query). The
+    global row_number here is the ranking SPEC; at 100 TB you rank per
+    shard and merge only each shard's top-k (the limit pushes into the
+    sort on both paths)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm = _bm25_scores(docs)
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.expr(_cos("embedding", "qv")).alias("sim"),
+    )
+    w_b = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w_c = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    ranked_b = bm.select("doc_id", F.row_number().over(w_b).alias("r_bm25"))
+    ranked_c = cos.select("doc_id", F.row_number().over(w_c).alias("r_cos"))
+    fused = ranked_b.join(ranked_c, "doc_id").select(
+        "doc_id",
+        F.col("r_bm25").cast("long").alias("r_bm25"),
+        F.col("r_cos").cast("long").alias("r_cos"),
+        F.round(
+            F.expr(
+                f"1.0 / ({float(RRF_K)!r} + cast(r_bm25 as double))"
+                f" + 1.0 / ({float(RRF_K)!r} + cast(r_cos as double))"
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+
+
+HYBRID_RRF_SQL = f"""
+WITH {_duck_bm25_ctes().strip()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT CAST(e.vec_id AS BIGINT) AS doc_id,
+         {_duck_cos('e.embedding', 'q.qv')} AS sim
+  FROM embeddings e, q
+),
+ranked_b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
+  FROM bm
+),
+ranked_c AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS r_cos
+  FROM cos
+)
+SELECT b.doc_id,
+       CAST(b.r_bm25 AS BIGINT) AS r_bm25,
+       CAST(c.r_cos AS BIGINT) AS r_cos,
+       round(1.0 / ({float(RRF_K)!r} + CAST(b.r_bm25 AS DOUBLE))
+             + 1.0 / ({float(RRF_K)!r} + CAST(c.r_cos AS DOUBLE)), 6) AS rrf
+FROM ranked_b b JOIN ranked_c c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, b.doc_id ASC LIMIT 5
+"""

@@ -106,12 +106,42 @@ class SnapshotTable:
         df = self.read(spark)
         return None if df is None else df.select("doc_id").distinct()
 
-    def pending(self, input_df: DataFrame, spark: SparkSession) -> DataFrame:
-        """Resume anti-join: input docs not yet committed (M6)."""
+    def pending(
+        self,
+        input_df: DataFrame,
+        spark: SparkSession,
+        broadcast_done: bool | None = None,
+    ) -> DataFrame:
+        """Resume anti-join: input docs not yet committed (M6).
+
+        Broadcast is decided from the committed data SIZE, not assumed:
+        after many commits the distinct doc_id set can exceed executor
+        memory, so the hint is applied only while the committed files stay
+        under spark.sql.autoBroadcastJoinThreshold (callers can force
+        either way via ``broadcast_done``). Past the threshold the plan
+        falls back to a shuffled anti-join, which is the correct shape for
+        a huge committed set.
+        """
         done = self.committed_doc_ids(spark)
         if done is None:
             return input_df
-        return input_df.join(F.broadcast(done), "doc_id", "left_anti")
+        if broadcast_done is None:
+            threshold = int(
+                spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+                .replace("b", "")
+                .replace("B", "")
+            )
+            committed_bytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for d in self.committed_dirs()
+                for root, _, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            broadcast_done = 0 <= committed_bytes <= max(threshold, 0)
+        if broadcast_done:
+            done = F.broadcast(done)
+        return input_df.join(done, "doc_id", "left_anti")
 
     # -- write path --------------------------------------------------------
 

@@ -9,8 +9,13 @@ are suppressed exactly-once across micro-batches and restarts (state is
 checkpointed).
 
 At 100-TB scale the state is hash-partitioned by key across executors;
-a processing-time timeout (configurable) bounds state size for keys that
-stop arriving.
+pass ``timeout_ms`` to bound state size with a processing-time timeout
+for keys that stop arriving (timed-out keys are evicted; a late re-arrival
+of such a key re-emits — the documented trade of bounded state).
+
+Determinism: within a micro-batch Spark does NOT guarantee row order, so
+"first-seen" is defined as the MIN doc_id of the batch — identical output
+under any repartitioning (pinned by test_stateful_streaming).
 """
 
 from __future__ import annotations
@@ -26,48 +31,67 @@ OUT_DDL = "dup_key string, doc_id string, n_suppressed long"
 STATE_DDL = "first_doc_id string, n_seen long"
 
 
-def _dedup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n_new = 0
-    first_doc = None
-    for pdf in pdfs:
-        if len(pdf) and first_doc is None:
-            first_doc = str(pdf["doc_id"].iloc[0])
-        n_new += len(pdf)
-    if state.exists:
-        prev_first, prev_seen = state.get
-        state.update((prev_first, prev_seen + n_new))
-        # already emitted for this key: suppress everything
+def _make_dedup_fn(timeout_ms: int | None):
+    def _dedup_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_new = 0
+        first_doc = None
+        for pdf in pdfs:
+            if len(pdf):
+                batch_min = pdf["doc_id"].astype(str).min()
+                if first_doc is None or batch_min < first_doc:
+                    first_doc = batch_min
+            n_new += len(pdf)
+        if state.exists:
+            prev_first, prev_seen = state.get
+            state.update((prev_first, prev_seen + n_new))
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+            # already emitted for this key: suppress everything
+            yield pd.DataFrame(
+                {
+                    "dup_key": [key[0]],
+                    "doc_id": [prev_first],
+                    "n_suppressed": [prev_seen + n_new - 1],
+                }
+            ).iloc[0:0]
+            return
+        state.update((first_doc, n_new))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "dup_key": [key[0]],
-                "doc_id": [prev_first],
-                "n_suppressed": [prev_seen + n_new - 1],
+                "doc_id": [first_doc],
+                "n_suppressed": [n_new - 1],
             }
-        ).iloc[0:0]
-        return
-    state.update((first_doc, n_new))
-    yield pd.DataFrame(
-        {
-            "dup_key": [key[0]],
-            "doc_id": [first_doc],
-            "n_suppressed": [n_new - 1],
-        }
-    )
+        )
+
+    return _dedup_fn
 
 
 def stream_dedup_first_seen(
-    docs_stream: DataFrame, key_col: str = "dup_key"
+    docs_stream: DataFrame,
+    key_col: str = "dup_key",
+    timeout_ms: int | None = None,
 ) -> DataFrame:
-    """stream(doc_id, dup_key) -> first occurrence per key, ever."""
+    """stream(doc_id, dup_key) -> first occurrence per key, ever (or per
+    timeout window when ``timeout_ms`` bounds the state)."""
     return (
         docs_stream.groupBy(key_col)
         .applyInPandasWithState(
-            _dedup_fn,
+            _make_dedup_fn(timeout_ms),
             outputStructType=OUT_DDL,
             stateStructType=STATE_DDL,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

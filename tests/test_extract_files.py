@@ -38,6 +38,35 @@ def test_file_job_equals_operator(spark, tmp_path):
     )
 
 
+def test_file_job_manifest_visibility(spark, tmp_path):
+    """Visibility flows through the snapshot manifest only: an uncommitted
+    output dir (crashed run) is invisible; after run_file_extraction the
+    table reads exactly the extracted rows — rename atomicity is not part
+    of the correctness argument."""
+    from gpt4ocontentextraction_spark.operators.extract_files import (
+        run_file_extraction,
+    )
+    from gpt4ocontentextraction_spark.sources.snapshots import SnapshotTable
+
+    in_dir = str(tmp_path / "in")
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spanify(flat).repartition(3).write.parquet(in_dir)
+
+    table = SnapshotTable(str(tmp_path / "table"))
+    # simulate a crashed earlier run: data landed, manifest never published
+    extract_parquet_files(
+        spark, in_dir, os.path.join(table.data_dir, "c-crashed")
+    ).collect()
+    assert table.read(spark) is None  # invisible without a manifest
+
+    commit_id = run_file_extraction(spark, in_dir, table, run_id="r1")
+    got = table.read(spark)
+    assert got is not None and got.count() == 500
+    assert commit_id == "c-r1"
+    via_operator = extract(spark.read.parquet(in_dir))
+    assert got.select("doc_id").distinct().count() == via_operator.count()
+
+
 def test_file_job_with_fixture_corpus(spark, tmp_path):
     in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
     pdf, exp = make_corpus(seed=8, docs_per_class=2, include_giant=False)
