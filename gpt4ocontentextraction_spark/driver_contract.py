@@ -153,6 +153,21 @@ def q_markdown_chunks(spark, sf_dir):
     return markdown_chunks(extract(spanify(_docs(spark, sf_dir))))
 
 
+@register(
+    "markdown_chunks_separator",
+    f"WITH RECURSIVE {oracles.MD_SEP_CHUNKS_SQL} SELECT chunk_doc_id,"
+    f" chunk_id, pg_number, file_name, title, content FROM md_chunks",
+)
+def q_markdown_chunks_separator(spark, sf_dir):
+    """C3 separator mode: windows end at the last newline/space in the
+    overlap tail (RecursiveCharacterTextSplitter's boundary preference,
+    docker/main.py:63-65), exact 820 overlap; oracle is a recursive CTE
+    over the same cut recurrence. Default mode unchanged."""
+    from .operators.chunk import markdown_chunks_separator
+
+    return markdown_chunks_separator(extract(spanify(_docs(spark, sf_dir))))
+
+
 # ---------------------------------------------------------------------------
 # Scalar function family (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------

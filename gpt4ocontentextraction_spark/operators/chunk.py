@@ -111,8 +111,10 @@ def chunk_dispatch(extracted: DataFrame, file_type_col: str = "file_type") -> Da
     return page_part.unionByName(md_part)
 
 
-def markdown_chunks(extracted: DataFrame) -> DataFrame:
-    """Reference-faithful heading-section chunks (see module docstring)."""
+def _sections(extracted: DataFrame) -> DataFrame:
+    """(doc_id, sec, content): heading-delimited sections ('# ' and '## ',
+    heading line kept — MarkdownHeaderTextSplitter with strip_headers=False,
+    docker/main.py:53-61)."""
     e = exploded_spans(extracted)
     is_sec = (F.col("kind") == "heading") & (
         F.col("text").startswith("# ") | F.col("text").startswith("## ")
@@ -123,12 +125,17 @@ def markdown_chunks(extracted: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     e = e.withColumn("sec", F.sum(is_sec.cast("int")).over(w_inc))
-    sections = e.groupBy("doc_id", "sec").agg(
+    return e.groupBy("doc_id", "sec").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(offset as o,"
             " text as t))), x -> x.t), '\n')"
         ).alias("content"),
     )
+
+
+def markdown_chunks(extracted: DataFrame) -> DataFrame:
+    """Reference-faithful heading-section chunks (see module docstring)."""
+    sections = _sections(extracted)
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((F.length("content") - F.lit(CHUNK_OVERLAP)) / F.lit(float(_STRIDE))),
@@ -141,12 +148,73 @@ def markdown_chunks(extracted: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         "sec",
-        "k",
+        F.col("k").cast("long").alias("k"),
         F.col("content")
         .substr(F.col("k") * _STRIDE + 1, F.lit(CHUNK_SIZE))
         .alias("t"),
     )
-    # per-chunk signals driving the reference's sequential carry
+    return _carry_and_emit(pieces)
+
+
+def markdown_chunks_separator(extracted: DataFrame) -> DataFrame:
+    """C3 separator mode: windows END at the last newline (else space,
+    else hard cut) found in the window's 820-char overlap tail — the
+    deterministic approximation of RecursiveCharacterTextSplitter's
+    boundary preference (docker/main.py:63-65). Overlap stays exactly
+    CHUNK_OVERLAP; non-final chunks span (STRIDE, CHUNK_SIZE] chars.
+
+    The cut recurrence is sequential per section (next start depends on
+    the previous cut), which Catalyst cannot express — so splitting runs
+    in mapInPandas with a per-SECTION (not per-row-of-text) Python loop;
+    the unit of Python work is a whole multi-KB section, a handful of
+    iterations each. The carry stage stays relational, shared with the
+    default mode."""
+    import pandas as pd
+
+    sections = _sections(extracted)
+
+    def split(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "sec": [], "k": [], "t": []}
+            for doc_id, sec, content in zip(
+                pdf["doc_id"], pdf["sec"], pdf["content"]
+            ):
+                start, k = 1, 0  # 1-based, mirrors the SQL oracle
+                length = len(content)
+                while True:
+                    if length - start + 1 <= CHUNK_SIZE:
+                        t = content[start - 1:]
+                        cut = length
+                    else:
+                        tail = content[
+                            start - 1 + _STRIDE: start - 1 + CHUNK_SIZE
+                        ]
+                        pos = tail.rfind("\n")
+                        if pos < 0:
+                            pos = tail.rfind(" ")
+                        if pos < 0:
+                            pos = CHUNK_OVERLAP - 1
+                        cut = start + _STRIDE + pos
+                        t = content[start - 1: cut]
+                    out["doc_id"].append(doc_id)
+                    out["sec"].append(sec)
+                    out["k"].append(k)
+                    out["t"].append(t)
+                    if cut >= length:
+                        break
+                    start = cut - CHUNK_OVERLAP + 1
+                    k += 1
+            yield pd.DataFrame(out)
+
+    pieces = sections.mapInPandas(
+        split, "doc_id string, sec long, k long, t string"
+    )
+    return _carry_and_emit(pieces)
+
+
+def _carry_and_emit(pieces: DataFrame) -> DataFrame:
+    """The reference's sequential carry loop over chunks (doc_id, sec, k,
+    t), as windowed forward-fills; shared by both splitting modes."""
     marked = pieces.select(
         "doc_id",
         "sec",

@@ -150,7 +150,7 @@ PAGE_CHUNKS_SQL = EXTRACT_SQL + _PAGE_CHUNKS_SUFFIX
 #    last_heading lags one chunk behind (title + content prefix use the
 #    PRE-update value, main.py:521,535-537); every chunk's content is
 #    prefixed '||{pg-1}||\n{last_heading}\n' (main.py:521).
-_MD_CHUNKS_SUFFIX = """,
+_MD_SECTIONS = """,
 mc_secs AS (
   SELECT *,
     SUM(CASE WHEN kind = 'heading'
@@ -163,19 +163,15 @@ sections AS (
   SELECT doc_id, sec,
     string_agg(text, chr(10) ORDER BY "offset") AS content
   FROM mc_secs GROUP BY doc_id, sec
-),
-md_ranges AS (
-  SELECT doc_id, sec,
-    UNNEST(range(greatest(1,
-      CAST(ceil((length(content) - 820) / 7372.0) AS BIGINT)))) AS k,
-    content AS full_content
-  FROM sections
-),
-md_pieces AS (
-  SELECT doc_id, sec, k,
-    substr(full_content, CAST(k * 7372 + 1 AS BIGINT), 8192) AS t
-  FROM md_ranges
-),
+)
+"""
+
+
+def _md_carry_suffix(pieces_cte: str) -> str:
+    """The reference's sequential carry loop over chunks (doc_id, sec, k,
+    t) from `pieces_cte`, as windowed forward-fills (shared by the stride
+    and separator splitting modes)."""
+    return f""",
 md_marked AS (
   SELECT doc_id, sec, k, t,
     list_filter(string_split(t, chr(10)), x -> x LIKE '# %')[-1] AS h1,
@@ -183,7 +179,7 @@ md_marked AS (
       TRY_CAST(NULLIF(regexp_extract(t, '\\|\\|(\\d+)\\|\\|', 1), '')
                AS BIGINT)
     END AS upd
-  FROM md_pieces
+  FROM {pieces_cte}
 ),
 md_carried AS (
   SELECT doc_id, sec, k, t,
@@ -209,7 +205,79 @@ md_chunks AS (
   FROM md_carried
 )
 """
+
+
+_MD_CHUNKS_SUFFIX = (
+    _MD_SECTIONS
+    + """,
+md_ranges AS (
+  SELECT doc_id, sec,
+    UNNEST(range(greatest(1,
+      CAST(ceil((length(content) - 820) / 7372.0) AS BIGINT)))) AS k,
+    content AS full_content
+  FROM sections
+),
+md_pieces AS (
+  SELECT doc_id, sec, k,
+    substr(full_content, CAST(k * 7372 + 1 AS BIGINT), 8192) AS t
+  FROM md_ranges
+)
+"""
+    + _md_carry_suffix("md_pieces")
+)
 MD_CHUNKS_SQL = EXTRACT_SQL + _MD_CHUNKS_SUFFIX
+
+
+# C3 separator mode: size windows that END at the last newline (else space,
+# else hard cut) inside the window's overlap tail — the deterministic,
+# oracle-checkable approximation of RecursiveCharacterTextSplitter's
+# boundary preference (docker/main.py:63-65); overlap stays exactly 820.
+# The cut recurrence is sequential, so the oracle is a recursive CTE
+# (register with WITH RECURSIVE).
+
+
+def _duck_cut(content: str, start: str) -> str:
+    """1-based absolute cut position for the chunk starting at `start`."""
+    tail = f"substr({content}, {start} + 7372, 820)"
+    nl = f"strpos(reverse({tail}), chr(10))"
+    sp = f"strpos(reverse({tail}), ' ')"
+    pos = (
+        f"(CASE WHEN {nl} > 0 THEN 820 - {nl} + 1"
+        f" WHEN {sp} > 0 THEN 820 - {sp} + 1 ELSE 820 END)"
+    )
+    return (
+        f"(CASE WHEN length({content}) - {start} + 1 <= 8192"
+        f" THEN length({content})"
+        f" ELSE {start} + 7371 + {pos} END)"
+    )
+
+
+_MD_SEP_SUFFIX = (
+    _MD_SECTIONS
+    + f""",
+md_sep_cuts AS (
+  SELECT doc_id, sec, content,
+         CAST(1 AS BIGINT) AS start_pos, CAST(0 AS BIGINT) AS k
+  FROM sections
+  UNION ALL
+  SELECT doc_id, sec, content,
+         {_duck_cut('content', 'start_pos')} - 819 AS start_pos,
+         k + 1 AS k
+  FROM md_sep_cuts
+  WHERE length(content) - start_pos + 1 > 8192
+),
+md_sep_pieces AS (
+  SELECT doc_id, sec, k,
+    substr(content, start_pos,
+           {_duck_cut('content', 'start_pos')} - start_pos + 1) AS t
+  FROM md_sep_cuts
+)
+"""
+    + _md_carry_suffix("md_sep_pieces")
+)
+
+# NOTE: register with a "WITH RECURSIVE" prefix (md_sep_cuts recurses).
+MD_SEP_CHUNKS_SQL = EXTRACT_SQL + _MD_SEP_SUFFIX
 
 # C1: chunk-strategy dispatch — page chunking for even doc_ids (the
 # deterministic stand-in for pptx/xlsx/png file types), markdown for odd

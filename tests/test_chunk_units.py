@@ -73,6 +73,37 @@ def test_title_lags_one_chunk(spark):
     assert saw_heading, "fixture should contain level-1 headings"
 
 
+def test_separator_mode_cuts_on_separators(spark):
+    """Separator mode: non-final windows end at a newline/space inside the
+    overlap tail when one exists, overlap is exactly CHUNK_OVERLAP, and
+    window sizes stay in (STRIDE, CHUNK_SIZE]."""
+    from gpt4ocontentextraction_spark.operators.chunk import (
+        markdown_chunks_separator,
+    )
+
+    pdf, _ = make_corpus(seed=99, docs_per_class=3, classes=("docx_headings",))
+    rows = markdown_chunks_separator(
+        extract(corpus_to_spark(spark, pdf))
+    ).collect()
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["file_name"], []).append(r)
+    saw_cut = False
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        for a, b in zip(chunks, chunks[1:]):
+            ra, rb = _raw(a), _raw(b)
+            if len(ra) <= CHUNK_SIZE - CHUNK_OVERLAP:
+                continue  # a ended its section; b starts a new one
+            if rb[:CHUNK_OVERLAP] == ra[-CHUNK_OVERLAP:]:
+                # same-section consecutive windows: exact 820 overlap and
+                # a separator-aligned cut (fixture text contains spaces)
+                saw_cut = True
+                assert CHUNK_SIZE - CHUNK_OVERLAP < len(ra) <= CHUNK_SIZE
+                assert ra[-1] in ("\n", " ")
+    assert saw_cut, "fixture should force at least one separator cut"
+
+
 def test_page_chunks_marker_prefix(spark):
     pdf, _ = make_corpus(seed=17, docs_per_class=3, classes=("pptx_slides",))
     rows = page_chunks(extract(corpus_to_spark(spark, pdf))).collect()
