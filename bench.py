@@ -49,7 +49,7 @@ CONTROL_LEVELS = (4, 16)  # second pair for the host-ceiling control
 TILE = int(os.environ.get("SPARK_GRAFT_BENCH_TILE", "60"))
 TEXT_REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "24"))
 MIN_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_SEC", "60"))
-ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 # Arrow batch sizing: 512 heavy docs ~ 30 MB of spans per batch. Measured
 # on this engine: 2048-doc batches at 32 concurrent tasks blow the JVM heap
 # into GC collapse (27k docs/s), 512 keeps per-task transients small enough

@@ -737,6 +737,13 @@ def q_hybrid_topk(spark, sf_dir):
     return retrieval.hybrid_rrf_topk(spark, sf_dir)
 
 
+@register("rerank_topk", retrieval.RERANK_TOPK_SQL)
+def q_rerank_topk(spark, sf_dir):
+    """Two-stage retrieve-then-rerank (BM25 top-20 -> cosine top-3), the
+    reference's semantic-reranker shape (test-query.ipynb cell-4)."""
+    return retrieval.rerank_topk(spark, sf_dir)
+
+
 @register("keyword_topk", retrieval.KEYWORD_TOPK_SQL)
 def q_keyword_topk(spark, sf_dir):
     """Q2: exact term-hit keyword top-5."""

@@ -431,6 +431,57 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 5
 """
 
 
+def rerank_topk(
+    spark, sf_dir, k: int = 3, n_candidates: int = 20, query_id: int = 0
+) -> DataFrame:
+    """Two-stage retrieval — the reference's semantic-reranker shape
+    (test-query.ipynb cell-4 `query_type='semantic'`): a cheap lexical
+    retriever (BM25, top n_candidates) followed by an expensive reranker
+    (cosine against the query embedding) over candidates ONLY. At 100 TB
+    the candidate set is tiny and broadcast; the reranker never scans the
+    corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = (
+        _bm25_scores(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(n_candidates)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qv")
+    )
+    reranked = (
+        F.broadcast(cands)
+        .join(
+            emb.select(F.col("vec_id").cast("long").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(F.expr(_cos("embedding", "qv")), 6).alias("sim"),
+        )
+    )
+    return reranked.orderBy(F.desc("sim"), F.asc("doc_id")).limit(k)
+
+
+RERANK_TOPK_SQL = f"""
+WITH {_duck_bm25_ctes().strip()},
+cands AS (
+  SELECT doc_id, round(bm25, 6) AS bm25 FROM bm
+  ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.doc_id, c.bm25,
+       round({_duck_cos('e.embedding', 'q.qv')}, 6) AS sim
+FROM cands c
+JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = c.doc_id, q
+ORDER BY sim DESC, c.doc_id ASC LIMIT 3
+"""
+
+
 def hybrid_rrf_topk(spark, sf_dir, k: int = 5, query_id: int = 0) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
     the cosine ranking against the embedding of vec_id=query_id (the
