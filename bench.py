@@ -63,10 +63,15 @@ HEADLINE = (
     "markdown_chunks",
     "page_chunks_fused",
     "markdown_chunks_fused",
+    "markdown_chunks_separator",
     "page_markers",
     "resume_pending",
     "minhash_lsh",
+    "simhash_pairs_banded",
+    "embedding_neardup_lsh",
     "cosine_topk",
+    "bm25_topk",
+    "hybrid_topk",
 )
 
 

@@ -145,14 +145,16 @@ LIMIT 5
 # Exact cosine is then verified on candidates only. Unlike SimHash bands
 # there is no pigeonhole guarantee (bits are independent projections),
 # but at the 0.99 threshold a pair differs per bit w.p. theta/pi ~ 0.005,
-# so P(miss) ~ (1-(1-0.005)^8)^4 ~ 3e-6 per true pair; the gate proves
-# recall=1 on the corpus by equality with the exact all-pairs oracle.
-# At 100 TB the verify join touches only candidate pairs; bucket sizes are
-# n / 2^EMB_BAND_BITS per band on random data.
+# so P(all 4 16-bit bands differ) ~ (1-0.995^16)^4 ~ 4e-5 per true pair;
+# the gate proves recall=1 on the corpus by equality with the exact
+# all-pairs oracle. 16-bit bands keep random collisions ~n^2/2^17 per
+# band (mostly singleton buckets), so the exact-cosine verify touches a
+# near-linear candidate set; candidates carry only ids — vectors join
+# back in for the verify rather than riding the band shuffle.
 
-EMB_PLANES = 32
+EMB_PLANES = 64
 EMB_BANDS = 4
-EMB_BAND_BITS = 8
+EMB_BAND_BITS = 16
 EMB_NEARDUP_THRESHOLD = 0.99
 _EMB_P = 1_000_003
 
@@ -223,22 +225,22 @@ def embedding_neardup_lsh(
     )
     sigs = vecs.select("vec_id", "v", F.expr(sig_expr).alias("sig"))
     bands = sigs.select(
-        "vec_id", "v", F.explode(F.expr(band_expr)).alias("band_key")
+        "vec_id", F.explode(F.expr(band_expr)).alias("band_key")
     )
-    a = bands.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band_key"
-    )
-    b = bands.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "band_key"
-    )
+    a = bands.select(F.col("vec_id").alias("id_a"), "band_key")
+    b = bands.select(F.col("vec_id").alias("id_b"), "band_key")
     cand = (
         a.join(b, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")  # ids only: vectors don't ride the shuffle
         .distinct()
     )
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.select(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(F.expr(_cos("va", "vb")), 6).alias("sim"),
