@@ -212,6 +212,38 @@ element_at(transform(array({_WORD_HASHES}), wh ->
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """Relational simhash: explode words, ONE codegen'd aggregation with
+    32 per-bit vote sums (map-side partial combine), reassemble the
+    fingerprint. Higher-order-function lambdas run interpreted in
+    Catalyst, so the equivalent single-expression form
+    (_SIMHASH_EXPR, kept below for reference) costs 32 interpreted ops
+    per word — 5-10x slower on real corpora; this form keeps the whole
+    vote loop inside whole-stage codegen at the cost of one doc_id
+    shuffle."""
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    from ..functions.hashing import spark_polyhash
+
+    hashed = words.select("doc_id", F.expr(spark_polyhash("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_fingerprints_expr(docs: DataFrame) -> DataFrame:
+    """Single-expression (no-shuffle) form — the semantics-defining spec;
+    equal to simhash_fingerprints (pinned by test)."""
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.expr(_SIMHASH_EXPR).alias("simhash"),

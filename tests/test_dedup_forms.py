@@ -1,0 +1,33 @@
+"""The relational (codegen'd vote aggregation) and single-expression
+simhash forms must be value-identical — the expression form is the
+semantics spec, the relational form is the fast path the operators use."""
+
+from __future__ import annotations
+
+from gpt4ocontentextraction_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_simhash_forms_equal(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = sorted(
+        tuple(r) for r in dedup.simhash_fingerprints(docs).collect()
+    )
+    spec = sorted(
+        tuple(r) for r in dedup.simhash_fingerprints_expr(docs).collect()
+    )
+    assert fast == spec
+    assert len(fast) == docs.count()
+
+
+def test_simhash_empty_text_is_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "alpha beta")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash_fingerprints(docs).collect()}
+    spec = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash_fingerprints_expr(docs).collect()}
+    assert got == spec
+    assert got[1] == 0  # all vote sums negative -> every bit 0
