@@ -126,11 +126,16 @@ class SnapshotTable:
         if done is None:
             return input_df
         if broadcast_done is None:
-            threshold = int(
-                spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-                .replace("b", "")
-                .replace("B", "")
+            raw = spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
             )
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+            s = raw.strip().lower().removesuffix("b")
+            mult = units.get(s[-1:], 1)
+            try:
+                threshold = int(s.rstrip("kmg") or "0") * mult
+            except ValueError:
+                threshold = 10 << 20
             committed_bytes = sum(
                 os.path.getsize(os.path.join(root, f))
                 for d in self.committed_dirs()

@@ -120,3 +120,30 @@ def test_retry_after_partial_write_recovers(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         table.append(extract(docs), spark, run_id="epoch-7")
+
+
+def test_pending_broadcast_gated_on_size(spark, docs, tmp_path):
+    """pending() broadcasts the committed set only while the committed
+    files stay under autoBroadcastJoinThreshold; past it (or when forced
+    off) the plan falls back to a shuffled anti-join."""
+    from gpt4ocontentextraction_spark.plans.inspect import physical_plan
+
+    table = SnapshotTable(str(tmp_path / "out"))
+    table.append(extract(docs.limit(4)), spark, run_id="r1")
+
+    auto = physical_plan(table.pending(docs, spark))
+    assert "BroadcastHashJoin" in auto  # tiny committed set -> broadcast
+
+    # with the threshold at 0 the size gate must NOT hint broadcast (and
+    # Spark's own estimator won't either) — the huge-committed-set shape
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "0")
+    try:
+        gated = physical_plan(table.pending(docs, spark))
+        assert "BroadcastHashJoin" not in gated
+        forced_on = physical_plan(
+            table.pending(docs, spark, broadcast_done=True)
+        )
+        assert "BroadcastHashJoin" in forced_on  # explicit override wins
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
