@@ -706,6 +706,14 @@ def q_ivf_topk(spark, sf_dir):
     return retrieval.ivf_topk(spark, sf_dir)
 
 
+@register("ivf_kmeans_topk", None)
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with real Lloyd's k-means centroids + multi-probe search. No
+    SQL oracle (iterative, float-mean order-sensitive) — rows-only check;
+    tests/test_retrieval_ivf.py pins recall against brute force."""
+    return retrieval.ivf_kmeans_topk(spark, sf_dir)
+
+
 @register("embedding_neardup", retrieval.EMBEDDING_NEARDUP_SQL)
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (sim >= 0.8, bounded block) —

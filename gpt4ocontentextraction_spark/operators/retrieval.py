@@ -260,6 +260,104 @@ SELECT id_a, id_b, sim FROM scored WHERE sim >= {EMB_NEARDUP_THRESHOLD}
 """
 
 
+def ivf_kmeans_topk(
+    spark,
+    sf_dir,
+    query_id: int = 0,
+    k: int = 5,
+    n_centroids: int = IVF_K,
+    iters: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF with REAL k-means centroids (Lloyd's, fixed deterministic
+    init = the first n_centroids vectors) instead of ivf_topk's stand-in.
+    Iterative refinement is driver-coordinated: each iteration is one
+    broadcast-join assignment plus one posexplode/mean reduction — at
+    100 TB you fit centroids on a sample, then one assignment pass
+    partitions the corpus; queries probe the n_probe nearest buckets.
+    No SQL oracle (iterative, float-mean order-sensitive): the driver
+    records the rows-only check; tests/test_retrieval_ivf.py pins
+    behavior against brute force."""
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.desc(F.expr(_cos("v", "cv"))), F.asc("cid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        # Lloyd update: per-dimension mean, rebuilt into an array
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> s.m)"
+                ).alias("cv")
+            )
+        )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "csim", F.expr(_cos("v", "cv"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("csim"), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("bucket"))
+    )
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv")
+    )
+    # query probes its n_probe nearest centroid buckets
+    qbuckets = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(F.expr(_cos("cv", "qv"))), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("cid").alias("bucket"))
+    )
+    return (
+        assigned.join(F.broadcast(qbuckets), "bucket")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(F.expr(_cos("v", "qv")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     spark, sf_dir, max_id: int = 200, threshold: float = 0.8
 ) -> DataFrame:
