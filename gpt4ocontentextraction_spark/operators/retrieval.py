@@ -202,30 +202,53 @@ vcorpus AS (
 """
 
 
+def _band_keys_udf():
+    """Arrow-vectorized band-key computation: W[j,k] is the deterministic
+    hyperplane matrix (same arithmetic as _plane), signature = sign of
+    V @ W, each EMB_BAND_BITS-bit band packed to an int key."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def band_keys(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy())
+        n_dims = V.shape[1]
+        k = np.arange(EMB_PLANES)
+        j = np.arange(n_dims)
+        W = (
+            (9176 * (k + 1)[None, :] + 5171 * ((j + 1) ** 2)[:, None] + 13)
+            % _EMB_P
+        ) / float(_EMB_P) - 0.5
+        bits = (V @ W) > 0
+        weights = 1 << np.arange(EMB_BAND_BITS)
+        per_band = []
+        for b in range(EMB_BANDS):
+            seg = bits[:, b * EMB_BAND_BITS: (b + 1) * EMB_BAND_BITS]
+            ids = seg @ weights
+            per_band.append([f"{b}_{int(x)}" for x in ids])
+        return pd.Series([list(t) for t in zip(*per_band)])
+
+    return band_keys
+
+
 def embedding_neardup_lsh(
     spark, sf_dir, threshold: float = EMB_NEARDUP_THRESHOLD
 ) -> DataFrame:
     """Production embedding near-dup: hyperplane-LSH banded candidates +
     exact-cosine verify over the (uncapped) variant corpus."""
     vecs = _variant_embeddings(_emb(spark, sf_dir))
-    # sign bits of the K projections; v is a materialized column, so the
-    # per-(k, j) lambda touches only an O(1) element_at (no re-inlined
-    # subexpression — see spanify.py's binding note)
-    sig_expr = (
-        f"transform(sequence(0, {EMB_PLANES - 1}), k ->"
-        f" IF(aggregate(sequence(0, size(v) - 1), 0D,"
-        f" (acc, j) -> acc + element_at(v, j + 1) * {_plane('k', 'j')})"
-        f" > 0D, 1, 0))"
-    )
-    band_expr = (
-        f"transform(sequence(0, {EMB_BANDS - 1}), b -> concat_ws('_',"
-        f" cast(b as string),"
-        f" concat_ws('', transform(slice(sig, b * {EMB_BAND_BITS} + 1,"
-        f" {EMB_BAND_BITS}), x -> cast(x as string)))))"
-    )
-    sigs = vecs.select("vec_id", "v", F.expr(sig_expr).alias("sig"))
-    bands = sigs.select(
-        "vec_id", F.explode(F.expr(band_expr)).alias("band_key")
+    # Sign bits of the K projections. This is a dense matmul (n x D @
+    # D x K) — the one shape Catalyst cannot express efficiently: lambda
+    # folds run interpreted (~16 s on 4k vectors) and a 64-SUM relational
+    # aggregation blows the codegen method limit back to interpreted
+    # (~30 s). An Arrow-vectorized pandas UDF does the matmul in numpy
+    # (milliseconds); signatures only GENERATE candidates — correctness
+    # still rests on the exact-cosine verify against the oracle.
+    bands = vecs.select(
+        "vec_id", F.explode(_band_keys_udf()("v")).alias("band_key")
     )
     a = bands.select(F.col("vec_id").alias("id_a"), "band_key")
     b = bands.select(F.col("vec_id").alias("id_b"), "band_key")
