@@ -69,6 +69,23 @@ def test_embedding_lsh_has_no_nested_loop(spark):
     assert_no_nested_loop(embedding_neardup_lsh(spark, SF))
 
 
+def test_bm25_prunes_scan_to_two_columns(spark):
+    from gpt4ocontentextraction_spark.operators.retrieval import bm25_topk
+
+    df = bm25_topk(spark.read.parquet(f"{SF}/documents.parquet"))
+    # corpus stats + scoring must not drag lang/source/n_chars off disk
+    assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_rerank_broadcasts_candidates_and_query(spark):
+    from gpt4ocontentextraction_spark.operators.retrieval import rerank_topk
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_broadcast_join,
+    )
+
+    assert_broadcast_join(rerank_topk(spark, SF))
+
+
 def test_extract_plan_is_single_stage(spark, flat_docs):
     from gpt4ocontentextraction_spark.spanify import spanify
 
