@@ -25,7 +25,8 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--flat", action="store_true",
-                    help="input is flat (doc_id,text,...); spanify first")
+                    help="force flat (doc_id,text,...) handling; by default"
+                         " the shape is detected from the input schema")
     ap.add_argument("--skew-threshold", type=int, default=0,
                     help=">0: route docs above this span count through the"
                          " page-range shard path")
@@ -43,7 +44,7 @@ def main() -> None:
     from gpt4ocontentextraction_spark.spanify import spanify
 
     docs = spark.read.parquet(args.input)
-    if args.flat:
+    if args.flat or "spans" not in docs.columns:
         docs = spanify(docs)
 
     table = SnapshotTable(args.output)
