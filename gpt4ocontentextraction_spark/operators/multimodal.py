@@ -100,6 +100,46 @@ def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
     return refs.mapInPandas(gen, MEDIA_SCHEMA_DDL)
 
 
+def ingest_media_dir(spark, path: str, recursive: bool = True) -> DataFrame:
+    """S2/S3 -> media-table bridge: scan a directory of media blobs
+    (sources/tables.py::scan_binary_dir) into the MEDIA_SCHEMA shape.
+    Width/height come from each blob's header, frame count from the
+    payload length; media_ref is the file stem. Real-codec blobs route
+    to the _decode_real stub like everywhere else."""
+    import os
+
+    from ..sources.tables import scan_binary_dir
+
+    raw = scan_binary_dir(spark, path, recursive=recursive)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                blob = bytes(blob)
+                magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
+                if magic != MAGIC:  # pragma: no cover
+                    _decode_real(blob)
+                frame_len = max(1, (w * h) // 64)
+                frames = max(1, (len(blob) - HEADER_SIZE) // frame_len)
+                ref = os.path.splitext(os.path.basename(p))[0]
+                kind = "video" if frames > 1 else "image"
+                rows.append(
+                    (ref, kind, f"{kind}/fake", w, h, frames, blob)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "media_kind", "mime", "width", "height",
+                    "n_frames", "data",
+                ],
+            ).astype(
+                {"width": "int32", "height": "int32", "n_frames": "int32"}
+            )
+
+    return raw.mapInPandas(run, MEDIA_SCHEMA_DDL)
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """Parse headers + payload statistics, Arrow-batched (mapInPandas).
     Where a real image library would decode pixels, this raises through to

@@ -81,3 +81,39 @@ def test_citation_resolution_join(extracted, media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm._decode_real(b"PNG...")
+
+
+def test_ingest_media_dir_round_trip(spark, tmp_path):
+    """S2/S3 directory scan feeds the media table: files written with the
+    fake codec scan back with header metadata intact and identical
+    decode_features to the in-memory path."""
+    import os
+
+    from gpt4ocontentextraction_spark.operators.multimodal import (
+        decode_features,
+        encode_fake,
+        ingest_media_dir,
+    )
+
+    d = tmp_path / "media"
+    os.makedirs(d)
+    want = {}
+    for i, (w, h, frames) in enumerate([(16, 8, 1), (32, 16, 4), (8, 8, 2)]):
+        blob = encode_fake(100 + i, w, h, frames)
+        (d / f"m{i}.fake").write_bytes(blob)
+        want[f"m{i}"] = (w, h, frames, len(blob))
+
+    media = ingest_media_dir(spark, str(d))
+    rows = {r["media_ref"]: r for r in media.collect()}
+    assert set(rows) == set(want)
+    for ref, (w, h, frames, blen) in want.items():
+        r = rows[ref]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, frames)
+        assert len(r["data"]) == blen
+        assert r["media_kind"] == ("video" if frames > 1 else "image")
+
+    feats = {r["media_ref"]: r for r in decode_features(media).collect()}
+    for ref, (w, h, frames, blen) in want.items():
+        f = feats[ref]
+        assert f["payload_len"] == blen - 12  # header is 4s+i+i
+        assert f["n_frames"] == frames
