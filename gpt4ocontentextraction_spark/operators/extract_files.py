@@ -33,7 +33,10 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 
-METRICS_DDL = "path string, n_docs long, n_spans_out long"
+METRICS_DDL = (
+    "path string, n_docs long, n_spans_out long,"
+    " n_tables_built long, n_media_emitted long"
+)
 
 
 def extract_parquet_files(
@@ -54,9 +57,11 @@ def extract_parquet_files(
     ).repartition(max(len(files), 1))
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from gpt4ocontentextraction_spark.operators.extract import (
+            _OUT_SCHEMA,
             _extract_batch,
         )
 
@@ -70,13 +75,19 @@ def extract_parquet_files(
                     _extract_batch(x)
                     for x in table.to_batches(max_chunksize=batch_rows)
                 ]
-                from .extract import _OUT_SCHEMA
-
                 out = pa.Table.from_batches(out_batches, schema=_OUT_SCHEMA)
                 pq.write_table(out, tmp)
                 os.rename(tmp, dst)  # attempt-race hygiene only (see module doc)
-                n_spans = sum(
-                    len(x.column("spans").flatten()) for x in out_batches
+                kinds = [
+                    x.column("spans").flatten().field("kind")
+                    for x in out_batches
+                ]
+                n_spans = sum(len(k) for k in kinds)
+                n_tables = sum(
+                    pc.sum(pc.equal(k, "table")).as_py() or 0 for k in kinds
+                )
+                n_media = sum(
+                    pc.sum(pc.equal(k, "media")).as_py() or 0 for k in kinds
                 )
                 yield pa.RecordBatch.from_pylist(
                     [
@@ -84,6 +95,8 @@ def extract_parquet_files(
                             "path": name,
                             "n_docs": table.num_rows,
                             "n_spans_out": n_spans,
+                            "n_tables_built": n_tables,
+                            "n_media_emitted": n_media,
                         }
                     ],
                     schema=pa.schema(
@@ -91,6 +104,8 @@ def extract_parquet_files(
                             pa.field("path", pa.string()),
                             pa.field("n_docs", pa.int64()),
                             pa.field("n_spans_out", pa.int64()),
+                            pa.field("n_tables_built", pa.int64()),
+                            pa.field("n_media_emitted", pa.int64()),
                         ]
                     ),
                 )
@@ -114,19 +129,32 @@ def run_file_extraction(
 
     ``table`` is a sources.snapshots.SnapshotTable.
     """
-    commit_id = f"c-{run_id or uuid.uuid4().hex}"
-    out_dir = os.path.join(table.data_dir, commit_id)
-    if os.path.exists(out_dir):
-        if commit_id in {
-            os.path.basename(d) for d in table.committed_dirs()
-        }:
-            raise ValueError(f"run_id {run_id} is already committed")
-        import shutil
-
-        shutil.rmtree(out_dir)  # crashed uncommitted attempt: safe to clear
+    run_id = run_id or uuid.uuid4().hex
+    commit_id = f"c-{run_id}"
+    out_dir = table.prepare_commit_dir(commit_id)
     metrics = extract_parquet_files(
         spark, input_dir, out_dir, batch_rows=batch_rows
     ).collect()
+    # per-file lineage in the same shape append() writes, so
+    # table.metrics() covers file-granular commits too (the file is this
+    # job's partition)
+    spark.createDataFrame(
+        [
+            (
+                run_id,
+                i,
+                m["n_docs"],
+                m["n_spans_out"],
+                m["n_tables_built"],
+                m["n_media_emitted"],
+            )
+            for i, m in enumerate(metrics)
+        ],
+        "run_id string, partition_id int, n_docs long, n_spans_out long,"
+        " n_tables_built long, n_media_emitted long",
+    ).write.mode("overwrite").parquet(
+        os.path.join(table.metrics_dir, commit_id)
+    )
     n_docs = sum(m["n_docs"] for m in metrics)
     table._publish(
         commit_id,

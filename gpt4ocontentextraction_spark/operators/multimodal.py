@@ -117,6 +117,8 @@ def ingest_media_dir(spark, path: str, recursive: bool = True) -> DataFrame:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 blob = bytes(blob)
+                if len(blob) < HEADER_SIZE:  # pragma: no cover
+                    _decode_real(blob)  # truncated/foreign blob
                 magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
                 if magic != MAGIC:  # pragma: no cover
                     _decode_real(blob)

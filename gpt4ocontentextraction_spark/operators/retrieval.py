@@ -144,12 +144,16 @@ LIMIT 5
 # some band matches exactly (equality self-join — never a nested loop).
 # Exact cosine is then verified on candidates only. Unlike SimHash bands
 # there is no pigeonhole guarantee (bits are independent projections),
-# but at the 0.99 threshold a pair differs per bit w.p. theta/pi ~ 0.005,
-# so P(all 4 16-bit bands differ) ~ (1-0.995^16)^4 ~ 4e-5 per true pair;
-# the gate proves recall=1 on the corpus by equality with the exact
-# all-pairs oracle. 16-bit bands keep random collisions ~n^2/2^17 per
-# band (mostly singleton buckets), so the exact-cosine verify touches a
-# near-linear candidate set; candidates carry only ids — vectors join
+# and recall depends on the PAIR's similarity, not the threshold: a pair
+# at cos=s differs per bit w.p. arccos(s)/pi, so with 4 x 16-bit bands a
+# pair sitting exactly AT the 0.99 threshold (theta/pi ~ 0.045, band
+# match 0.955^16 ~ 0.48) is missed w.p. ~0.52^4 ~ 7% — size bands to the
+# similarity you must catch, not to the output threshold. This corpus's
+# qualifying pairs are the ~0.9998-cosine variants (theta/pi ~ 0.0040,
+# miss ~1.4e-5), and the gate proves recall=1 on it by equality with the
+# exact all-pairs oracle. 16-bit bands keep random collisions ~n^2/2^17
+# per band (mostly singleton buckets), so the exact-cosine verify touches
+# a near-linear candidate set; candidates carry only ids — vectors join
 # back in for the verify rather than riding the band shuffle.
 
 EMB_PLANES = 64
@@ -157,14 +161,6 @@ EMB_BANDS = 4
 EMB_BAND_BITS = 16
 EMB_NEARDUP_THRESHOLD = 0.99
 _EMB_P = 1_000_003
-
-
-def _plane(k: str, j: str) -> str:
-    """Deterministic hyperplane weight w(k, j) in [-0.5, 0.5)."""
-    return (
-        f"(((9176 * ({k} + 1) + 5171 * ({j} + 1) * ({j} + 1) + 13)"
-        f" % {_EMB_P}) / cast({_EMB_P} as double) - 0.5)"
-    )
 
 
 def _variant_embeddings(emb: DataFrame) -> DataFrame:
@@ -203,9 +199,10 @@ vcorpus AS (
 
 
 def _band_keys_udf():
-    """Arrow-vectorized band-key computation: W[j,k] is the deterministic
-    hyperplane matrix (same arithmetic as _plane), signature = sign of
-    V @ W, each EMB_BAND_BITS-bit band packed to an int key."""
+    """Arrow-vectorized band-key computation: W[j,k] = (((9176(k+1) +
+    5171(j+1)^2 + 13) mod P) / P) - 0.5 is the deterministic hyperplane
+    matrix (sole definition of the planes), signature = sign of V @ W,
+    each EMB_BAND_BITS-bit band packed to an int key."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -322,8 +319,13 @@ def ivf_kmeans_topk(
             .filter(F.col("rn") == 1)
             .select("vec_id", "v", "cid")
         )
-        # Lloyd update: per-dimension mean, rebuilt into an array
-        cents = (
+        # Lloyd update: per-dimension mean, rebuilt into an array. The
+        # centroid table is n_centroids rows — materialize it to the
+        # driver each iteration so the next assignment's plan starts from
+        # a literal relation instead of nesting the whole previous
+        # iteration's lineage (which the final query would otherwise
+        # re-execute once for bucket assignment and once for probing).
+        cents_rows = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
@@ -334,6 +336,10 @@ def ivf_kmeans_topk(
                     " s -> s.m)"
                 ).alias("cv")
             )
+        ).collect()
+        cents = spark.createDataFrame(
+            [(r["cid"], list(r["cv"])) for r in cents_rows],
+            "cid long, cv array<double>",
         )
     assigned = (
         emb.crossJoin(F.broadcast(cents))
@@ -564,11 +570,14 @@ def rerank_topk(
     the candidate set is tiny and broadcast; the reranker never scans the
     corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # round BEFORE the top-n cut: SQL's ORDER BY bm25 in the oracle binds
+    # to the rounded SELECT alias, so the raw double must not decide the
+    # candidate boundary (same pattern as bm25_topk)
     cands = (
         _bm25_scores(docs)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(n_candidates)
-        .select("doc_id", F.round("bm25", 6).alias("bm25"))
     )
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == query_id).select(

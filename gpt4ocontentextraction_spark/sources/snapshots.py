@@ -150,6 +150,22 @@ class SnapshotTable:
 
     # -- write path --------------------------------------------------------
 
+    def prepare_commit_dir(self, commit_id: str) -> str:
+        """Resolve (and clear, if it's a crashed uncommitted leftover) the
+        data dir for commit_id; refuse to reuse an already-committed id."""
+        out = os.path.join(self.data_dir, commit_id)
+        if os.path.exists(out):
+            if commit_id in {
+                os.path.basename(d) for d in self.committed_dirs()
+            }:
+                raise ValueError(f"{commit_id} is already committed")
+            # leftover from a crashed attempt with the same run_id
+            # (e.g. a retried streaming epoch): uncommitted, safe to clear
+            import shutil
+
+            shutil.rmtree(out)
+        return out
+
     def append(
         self,
         df: DataFrame,
@@ -165,17 +181,7 @@ class SnapshotTable:
         """
         run_id = run_id or uuid.uuid4().hex
         commit_id = f"c-{run_id}"
-        out = os.path.join(self.data_dir, commit_id)
-        if os.path.exists(out):
-            if commit_id in {
-                os.path.basename(d) for d in self.committed_dirs()
-            }:
-                raise ValueError(f"run_id {run_id} is already committed")
-            # leftover from a crashed attempt with the same run_id
-            # (e.g. a retried streaming epoch): uncommitted, safe to clear
-            import shutil
-
-            shutil.rmtree(out)
+        out = self.prepare_commit_dir(commit_id)
         df.write.mode("errorifexists").parquet(out)
 
         written = spark.read.parquet(out)

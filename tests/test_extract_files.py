@@ -65,6 +65,12 @@ def test_file_job_manifest_visibility(spark, tmp_path):
     assert commit_id == "c-r1"
     via_operator = extract(spark.read.parquet(in_dir))
     assert got.select("doc_id").distinct().count() == via_operator.count()
+    # per-file lineage lands in the shared metrics table
+    m = table.metrics(spark)
+    assert m is not None
+    rows = m.filter(m.run_id == "r1").collect()
+    assert rows and sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["n_spans_out"] for r in rows) > 0
 
 
 def test_file_job_with_fixture_corpus(spark, tmp_path):
