@@ -104,12 +104,13 @@ def extract_values_arrow(
     rank_s = _RANK[kid_s]
     if _is_sorted(doc_s, seg, rank_s, off_s):
         perm = order0  # may be None (fully identity)
-        kid_p, doc_p = kid_s, doc_s
+        kid_p, doc_p, seg_p = kid_s, doc_s, seg
     else:
         order1 = np.lexsort((off_s, rank_s, seg, doc_s))
         perm = order0[order1] if order0 is not None else order1
         kid_p = kid[perm]
         doc_p = doc_idx[perm]
+        seg_p = seg[order1]
     text_p = text if perm is None else pc.take(text, pa.array(perm))
 
     # step 4: boilerplate strip
@@ -137,6 +138,29 @@ def extract_values_arrow(
             ).to_numpy(zero_copy_only=False).astype(np.int64)
             dense = (total - stripped) > LINK_DENSITY_MAX * np.maximum(total, 1)
             drop[np.flatnonzero(cand)[dense]] = True
+
+        # step 4c: per-page text-density strip (short-block chrome),
+        # same integer rule as extract_kernel.py step 4c.
+        alive = is_text & ~drop
+        if alive.any():
+            gid = np.cumsum(
+                np.r_[True, (doc_p[1:] != doc_p[:-1]) | (seg_p[1:] != seg_p[:-1])]
+            ) - 1
+            sub = pc.take(text_p, pa.array(np.flatnonzero(alive)))
+            wc = (
+                pc.count_substring(sub, " ")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                + 1
+            )
+            g_alive = gid[alive]
+            n_g = gid[-1] + 1
+            total_w = np.bincount(
+                g_alive, weights=wc, minlength=n_g
+            ).astype(np.int64)
+            m = np.bincount(g_alive, minlength=n_g).astype(np.int64)
+            low = 2 * wc * m[g_alive] < total_w[g_alive]
+            drop[np.flatnonzero(alive)[low]] = True
 
     keep = ~drop
     kid_k = kid_p[keep]

@@ -35,9 +35,21 @@ Deterministic extraction semantics (total order, no ties — SURVEY.md §7
    span) are dropped when
    (a) the text is blank after trimming, or (b) their *link density* — the
    fraction of characters inside markdown links ``[label](url)`` — exceeds
-   0.5 (Boilerpipe/Readability-style block scoring on the one feature that
-   is computable without a DOM; see PAPERS.md. Kohlschütter et al.'s
-   densitometric classifier uses link density as its primary split).
+   0.5, or (c) their *text density* marks them as short chrome: among a
+   PAGE's textual spans that survived (a)/(b), with ``wc(s)`` = the
+   space-delimited token count (1 + number of ``' '`` chars), ``m`` the
+   number of such spans on the page and ``W`` their total token count, a
+   span is dropped iff ``2 * wc * m < W`` — i.e. it carries fewer than
+   half the page's mean words-per-block. Exact integer arithmetic, so the
+   DuckDB oracle reproduces it bit-for-bit; per-PAGE (not per-document)
+   stats keep the rule invariant under page-range skew sharding
+   (operators/skew.py). Together (b)+(c) are the Boilerpipe/Readability
+   densitometric pair — link density and number-of-words block scoring
+   (Kohlschütter et al., WSDM'10; see PAPERS.md): a nav crumb with no
+   links is still dropped because it is a short outlier block on its page,
+   while uniform pages (all blocks similar) and single-block pages are
+   untouched. The reference's analog is the vision prompt's implicit
+   "everything visible" main-content filter (docker/main.py:574-576).
 5. **Kind mapping.**
    - heading1 -> ``heading`` with text prefixed ``"# "``;
      heading2 -> ``heading`` with ``"## "`` (markdown headings, as the
@@ -149,6 +161,7 @@ def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
             "kind": kind_s[order1],
             "text": flat["text"].to_numpy()[order0][order1],
             "media_ref": flat["media_ref"].to_numpy()[order0][order1],
+            "page": seg[order1],
         }
     )
     # unknown kinds are treated as plain text (robust default; the arrow
@@ -166,6 +179,28 @@ def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
         blank = txt.str.strip() == ""
         dense = link_density(txt) > LINK_DENSITY_MAX
         drop.loc[is_text] = (blank | dense).to_numpy()
+    # -- step 4c: per-page text-density strip (short-block chrome). Stats
+    #    over textual spans surviving (a)/(b): drop wc < half the page mean.
+    alive = is_text.to_numpy() & ~drop.to_numpy()
+    if alive.any():
+        dd = df["doc_idx"].to_numpy()
+        pp = df["page"].to_numpy()
+        gid = np.cumsum(
+            np.r_[True, (dd[1:] != dd[:-1]) | (pp[1:] != pp[:-1])]
+        ) - 1
+        wc = (
+            df.loc[alive, "text"].str.count(" ") + 1
+        ).to_numpy().astype(np.int64)
+        g_alive = gid[alive]
+        n_g = gid[-1] + 1
+        total = np.bincount(g_alive, weights=wc, minlength=n_g).astype(
+            np.int64
+        )
+        m = np.bincount(g_alive, minlength=n_g).astype(np.int64)
+        low = 2 * wc * m[g_alive] < total[g_alive]
+        drop_np = drop.to_numpy()
+        drop_np[np.flatnonzero(alive)[low]] = True
+        drop = pd.Series(drop_np, index=drop.index)
     df = df[~drop.to_numpy()]
     if len(df) == 0:
         return _empty_out()

@@ -32,10 +32,13 @@ resolved AS (
 )
 """
 
-# Step 4: boilerplate strip — tagged kinds, blank text, link density > 0.5.
+# Step 4: boilerplate strip — tagged kinds, blank text, link density > 0.5,
+# then the per-page text-density rule (step 4c in extract_kernel.py): among
+# a page's surviving textual spans, drop those with token count below half
+# the page mean (2 * wc * m < W, exact integers).
 KEPT_SQL = f"""
 {RESOLVED_SQL},
-kept AS (
+kept0 AS (
   SELECT * FROM resolved
   WHERE kind NOT IN ('nav', 'footer', 'ad', 'script')
     AND NOT (kind IN ('text', 'column_left', 'column_right') AND (
@@ -43,6 +46,21 @@ kept AS (
       OR (length(text)
           - length(regexp_replace(text, '\\[[^\\]]*\\]\\([^)]*\\)', '', 'g')))
          > 0.5 * greatest(length(text), 1)))
+),
+kept AS (
+  SELECT doc_id, kind, text, media_ref, "offset", page, crank, rn FROM (
+    SELECT *,
+      CASE WHEN kind IN ('text', 'column_left', 'column_right')
+           THEN length(text) - length(replace(text, ' ', '')) + 1
+      END AS td_wc,
+      SUM(CASE WHEN kind IN ('text', 'column_left', 'column_right')
+               THEN length(text) - length(replace(text, ' ', '')) + 1
+          END) OVER (PARTITION BY doc_id, page) AS td_w,
+      SUM(CASE WHEN kind IN ('text', 'column_left', 'column_right')
+               THEN 1 END) OVER (PARTITION BY doc_id, page) AS td_m
+    FROM kept0
+  )
+  WHERE td_wc IS NULL OR NOT (2 * td_wc * td_m < td_w)
 )
 """
 

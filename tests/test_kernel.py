@@ -140,3 +140,86 @@ def test_multi_doc_batch_independence():
     # table runs must NOT merge across documents
     assert list(got["doc_idx"]) == [0, 1]
     assert list(got["kind"]) == ["table", "table"]
+
+
+# --- step 4c: per-page text-density strip ----------------------------------
+
+
+def _words(n, tag="w"):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_density_drops_short_chrome_block():
+    # page mean = (8+8+8+1)/4 = 6.25; the 1-word crumb (2*1*4=8 < 25) drops
+    got = extract_document(
+        [
+            span("text", _words(8, "a"), offset=0),
+            span("text", _words(8, "b"), offset=1),
+            span("text", "Home", offset=2),
+            span("text", _words(8, "c"), offset=3),
+        ]
+    )
+    assert [g["text"] for g in got] == [
+        _words(8, "a"), _words(8, "b"), _words(8, "c")
+    ]
+
+
+def test_density_uniform_page_untouched():
+    # all blocks equal => 2*wc*m == 2*W > W, nothing drops
+    got = extract_document(
+        [span("text", _words(3, f"t{i}"), offset=i) for i in range(4)]
+    )
+    assert len(got) == 4
+
+
+def test_density_single_block_page_untouched():
+    got = extract_document([span("text", "hi", offset=0)])
+    assert [g["text"] for g in got] == ["hi"]
+
+
+def test_density_is_per_page_not_per_document():
+    # 'Home' sits alone with one long block on page 2: mean=(1+9)/2=5,
+    # 2*1*2=4 < 10 => drops there; but as the only text block on page 1
+    # (heading is not a text kind) it survives.
+    kept = extract_document(
+        [
+            span("heading1", "T", offset=0),
+            span("text", "Home", offset=1),
+            span("page_break", "||1||", offset=2),
+            span("text", _words(9), offset=3),
+        ]
+    )
+    assert [g["text"] for g in kept] == ["# T", "Home", "||1||", _words(9)]
+    dropped = extract_document(
+        [
+            span("text", "Home", offset=0),
+            span("text", _words(9), offset=1),
+        ]
+    )
+    assert [g["text"] for g in dropped] == [_words(9)]
+
+
+def test_density_ignores_non_text_kinds():
+    # a short table row next to long text blocks is NOT density-dropped
+    got = extract_document(
+        [
+            span("text", _words(9, "a"), offset=0),
+            span("table_row", "x\ty", offset=1),
+            span("text", _words(9, "b"), offset=2),
+        ]
+    )
+    assert [g["kind"] for g in got] == ["text", "table", "text"]
+
+
+def test_density_stats_exclude_link_dense_and_blank_blocks():
+    # the blank and link-dense blocks are dropped in 4a/4b and must not
+    # depress the page mean: remaining blocks are 4,4 words => uniform
+    got = extract_document(
+        [
+            span("text", _words(4, "a"), offset=0),
+            span("text", "   ", offset=1),
+            span("text", "[x](http://y) [z](http://w)", offset=2),
+            span("text", _words(4, "b"), offset=3),
+        ]
+    )
+    assert [g["text"] for g in got] == [_words(4, "a"), _words(4, "b")]
