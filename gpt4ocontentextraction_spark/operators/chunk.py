@@ -157,11 +157,14 @@ def markdown_chunks(extracted: DataFrame) -> DataFrame:
 
 
 def markdown_chunks_separator(extracted: DataFrame) -> DataFrame:
-    """C3 separator mode: windows END at the last newline (else space,
-    else hard cut) found in the window's 820-char overlap tail — the
-    deterministic approximation of RecursiveCharacterTextSplitter's
-    boundary preference (docker/main.py:63-65). Overlap stays exactly
-    CHUNK_OVERLAP; non-final chunks span (STRIDE, CHUNK_SIZE] chars.
+    """C3 separator mode: windows END at the last paragraph break
+    ``\\n\\n`` (else last newline, else last space, else hard cut) found
+    in the window's 820-char overlap tail — the full separator hierarchy
+    of RecursiveCharacterTextSplitter (docker/main.py:63-65: separators
+    ``["\\n\\n", "\\n", " "]``), made deterministic and oracle-checkable.
+    Overlap stays exactly CHUNK_OVERLAP; non-final chunks span
+    (STRIDE, CHUNK_SIZE] chars; a paragraph-break cut ends at the pair's
+    SECOND newline so the next chunk starts at a paragraph head.
 
     The cut recurrence is sequential per section (next start depends on
     the previous cut), which Catalyst cannot express — so splitting runs
@@ -189,11 +192,15 @@ def markdown_chunks_separator(extracted: DataFrame) -> DataFrame:
                         tail = content[
                             start - 1 + _STRIDE: start - 1 + CHUNK_SIZE
                         ]
-                        pos = tail.rfind("\n")
-                        if pos < 0:
-                            pos = tail.rfind(" ")
-                        if pos < 0:
-                            pos = CHUNK_OVERLAP - 1
+                        p2 = tail.rfind("\n\n")
+                        if p2 >= 0:
+                            pos = p2 + 1  # end at the pair's 2nd newline
+                        else:
+                            pos = tail.rfind("\n")
+                            if pos < 0:
+                                pos = tail.rfind(" ")
+                            if pos < 0:
+                                pos = CHUNK_OVERLAP - 1
                         cut = start + _STRIDE + pos
                         t = content[start - 1: cut]
                     out["doc_id"].append(doc_id)

@@ -614,13 +614,62 @@ ORDER BY sim DESC, c.doc_id ASC LIMIT 3
 """
 
 
-def hybrid_rrf_topk(spark, sf_dir, k: int = 5, query_id: int = 0) -> DataFrame:
-    """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
-    the cosine ranking against the embedding of vec_id=query_id (the
-    engine analog of the reference's keyword+vector+rerank query). The
-    global row_number here is the ranking SPEC; at 100 TB you rank per
-    shard and merge only each shard's top-k (the limit pushes into the
-    sort on both paths)."""
+HYBRID_N_CAND = 1000
+
+
+def _prefix_ranked(scored: DataFrame, score_col: str, rank_col: str, n: int) -> DataFrame:
+    """Exact global top-n of (score desc, doc_id asc) with each row's
+    GLOBAL rank. The cut is ``orderBy(...).limit(n)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition top-n, then a merge of n-row
+    heaps): fully parallel, never a global sort. Ranks are then assigned
+    inside the <= n-row result with a window partitioned by a constant:
+    its single partition holds at most n rows REGARDLESS of corpus size
+    (the bound comes from the limit, not the data), so this is not the
+    unpartitioned-window-over-the-corpus shape — and rank within a prefix
+    of the global order equals global rank. The partition key is the
+    constant-valued ``pmod(doc_id, 1)`` rather than a literal because
+    Catalyst folds literal partition keys away, reintroducing the empty
+    partition spec (and its single-partition warning) this shape exists
+    to avoid."""
+    top = scored.orderBy(F.desc(score_col), F.asc("doc_id")).limit(n)
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    return top.select(
+        "doc_id", score_col, F.row_number().over(w).cast("long").alias(rank_col)
+    )
+
+
+def hybrid_rrf_topk(
+    spark, sf_dir, k: int = 5, query_id: int = 0, n_cand: int = HYBRID_N_CAND
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (1/(60+r_bm25) +
+    1/(60+r_cos)) of the BM25 and cosine rankings against the embedding
+    of vec_id=query_id — the engine analog of the reference's
+    keyword+vector+rerank query (test-query.ipynb cell-4).
+
+    Scale shape (no global ranking): each list is cut to its exact top
+    n_cand by ``orderBy().limit()`` (TakeOrderedAndProject — parallel
+    partial top-n + heap merge, no single-partition sort of the corpus);
+    ranks are assigned within those bounded candidate sets, where prefix
+    rank = global rank. Fusion over the intersection is exact. The result
+    is still EXACT for the final top-k, not approximate:
+
+    - a doc absent from both top-n lists has rrf < 2/(61+n_cand), while
+      every intersection doc has rrf >= 2/(60+n_cand) — so once the
+      intersection holds >= k docs, absent docs can never reach the cut
+      (if it does not, n_cand doubles and the query re-plans; at
+      n_cand >= corpus the intersection is the corpus);
+    - a doc in exactly ONE list has one exact rank and an rrf UPPER bound
+      via the other rank's lower bound (> n_cand). Only such docs whose
+      upper bound reaches the current k-th fused score can matter; for
+      those (typically zero) the missing rank is resolved EXACTLY by a
+      distributed order-statistic count — ``1 + count(rows scoring
+      better)`` — a broadcast-filter aggregate per doc, no sort, no
+      window, resolved in descending upper-bound order with early stop.
+
+    Driver-side work is bounded by n_cand (corpus-size-independent),
+    like the k-means centroid materialization."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bm = _bm25_scores(docs)
     emb = _emb(spark, sf_dir)
@@ -631,23 +680,87 @@ def hybrid_rrf_topk(spark, sf_dir, k: int = 5, query_id: int = 0) -> DataFrame:
         F.col("vec_id").cast("long").alias("doc_id"),
         F.expr(_cos("embedding", "qv")).alias("sim"),
     )
-    w_b = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    w_c = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
-    ranked_b = bm.select("doc_id", F.row_number().over(w_b).alias("r_bm25"))
-    ranked_c = cos.select("doc_id", F.row_number().over(w_c).alias("r_cos"))
-    fused = ranked_b.join(ranked_c, "doc_id").select(
-        "doc_id",
-        F.col("r_bm25").cast("long").alias("r_bm25"),
-        F.col("r_cos").cast("long").alias("r_cos"),
-        F.round(
-            F.expr(
-                f"1.0 / ({float(RRF_K)!r} + cast(r_bm25 as double))"
-                f" + 1.0 / ({float(RRF_K)!r} + cast(r_cos as double))"
-            ),
-            6,
-        ).alias("rrf"),
+
+    def rrf_expr(rb: str, rc: str) -> str:
+        return (
+            f"round(1.0 / ({float(RRF_K)!r} + cast({rb} as double))"
+            f" + 1.0 / ({float(RRF_K)!r} + cast({rc} as double)), 6)"
+        )
+
+    ranked_b = _prefix_ranked(bm, "bm25", "r_bm25", n_cand)
+    ranked_c = _prefix_ranked(cos, "sim", "r_cos", n_cand)
+    known = ranked_b.join(ranked_c, "doc_id").select(
+        "doc_id", "r_bm25", "r_cos", F.expr(rrf_expr("r_bm25", "r_cos")).alias("rrf")
     )
-    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+    known_top = known.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+    head = known_top.collect()  # <= k rows
+    if len(head) < k:
+        n_docs = docs.count()
+        if n_cand < n_docs:
+            return hybrid_rrf_topk(
+                spark, sf_dir, k=k, query_id=query_id, n_cand=min(2 * n_cand, n_docs)
+            )
+        # corpus smaller than k after full coverage: known IS the answer
+        return known_top
+
+    # docs in exactly one list, with the exact known rank and the other
+    # side's score for potential order-statistic resolution
+    only_b = (
+        ranked_b.join(ranked_c.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("r_bm25").alias("r_known"), F.lit("cos").alias("missing"))
+    )
+    only_c = (
+        ranked_c.join(ranked_b.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("r_cos").alias("r_known"), F.lit("bm25").alias("missing"))
+    )
+    theta = (head[-1]["rrf"], -head[-1]["doc_id"])  # k-th fused score
+    partial = (
+        only_b.unionByName(only_c)
+        .withColumn(
+            "ub",
+            F.expr(
+                f"round(1.0 / ({float(RRF_K)!r} + cast(r_known as double))"
+                f" + 1.0 / ({float(RRF_K)!r} + {float(n_cand + 1)!r}), 6)"
+            ),
+        )
+        .filter(F.col("ub") >= F.lit(theta[0]))
+        .collect()
+    )  # bounded by 2 * n_cand; empty unless a one-list doc can reach top-k
+    if not partial:
+        return known_top
+
+    # resolve missing ranks exactly, best upper bound first, stop when the
+    # next upper bound cannot beat the current k-th fused score
+    merged = [(r["rrf"], -r["doc_id"], r) for r in head]
+    merged.sort(reverse=True)
+    resolved_rows = []
+    for p in sorted(partial, key=lambda r: (-r["ub"], r["doc_id"])):
+        if (p["ub"], -p["doc_id"]) <= merged[k - 1][:2]:
+            break
+        side = cos if p["missing"] == "cos" else bm.withColumnRenamed("bm25", "sim")
+        s = side.filter(F.col("doc_id") == p["doc_id"]).collect()[0]["sim"]
+        n_better = side.filter(
+            (F.col("sim") > s)
+            | ((F.col("sim") == s) & (F.col("doc_id") < p["doc_id"]))
+        ).count()
+        r_miss = n_better + 1
+        rb, rc = (
+            (p["r_known"], r_miss) if p["missing"] == "cos" else (r_miss, p["r_known"])
+        )
+        rrf = round(1.0 / (RRF_K + float(rb)) + 1.0 / (RRF_K + float(rc)), 6)
+        resolved_rows.append((p["doc_id"], rb, rc, rrf))
+        merged.append((rrf, -p["doc_id"], None))
+        merged.sort(reverse=True)
+    if not resolved_rows:
+        return known_top
+    extra = spark.createDataFrame(
+        resolved_rows, "doc_id long, r_bm25 long, r_cos long, rrf double"
+    )
+    return (
+        known.unionByName(extra)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 HYBRID_RRF_SQL = f"""

@@ -255,12 +255,19 @@ MD_CHUNKS_SQL = EXTRACT_SQL + _MD_CHUNKS_SUFFIX
 
 
 def _duck_cut(content: str, start: str) -> str:
-    """1-based absolute cut position for the chunk starting at `start`."""
+    """1-based absolute cut position for the chunk starting at `start`.
+
+    Separator hierarchy (RecursiveCharacterTextSplitter's ["\\n\\n",
+    "\\n", " "]): last paragraph break in the tail wins (cut ends at the
+    pair's SECOND newline, position 820 - nl2 + 1 via reverse-strpos),
+    else last newline, else last space, else a hard cut at 820."""
     tail = f"substr({content}, {start} + 7372, 820)"
+    nl2 = f"strpos(reverse({tail}), chr(10) || chr(10))"
     nl = f"strpos(reverse({tail}), chr(10))"
     sp = f"strpos(reverse({tail}), ' ')"
     pos = (
-        f"(CASE WHEN {nl} > 0 THEN 820 - {nl} + 1"
+        f"(CASE WHEN {nl2} > 0 THEN 820 - {nl2} + 1"
+        f" WHEN {nl} > 0 THEN 820 - {nl} + 1"
         f" WHEN {sp} > 0 THEN 820 - {sp} + 1 ELSE 820 END)"
     )
     return (

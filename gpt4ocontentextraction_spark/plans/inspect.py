@@ -57,6 +57,43 @@ def assert_no_nested_loop(df: DataFrame) -> None:
     ), f"nested-loop join in plan:\n{plan}"
 
 
+def assert_no_unpartitioned_window(df: DataFrame) -> None:
+    """No window function may run without a partition spec — that shape
+    moves the ENTIRE input through one partition (Spark's own
+    'WindowExec: No Partition Defined' warning) and serializes at scale.
+    Windows over bounded inputs must use a constant-valued partition key
+    (see operators/retrieval.py::_prefix_ranked)."""
+    plan = physical_plan(df)
+    for start in _find_all(plan, "windowspecdefinition("):
+        args = plan[start + len("windowspecdefinition("):]
+        # first top-level argument (balanced parens)
+        depth = 0
+        for i, ch in enumerate(args):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    first = args[:i]
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                first = args[:i]
+                break
+        else:  # pragma: no cover - malformed plan text
+            first = args
+        assert " ASC" not in first and " DESC" not in first, (
+            "window without a partition spec (first windowspecdefinition"
+            f" argument is an ordering: {first!r}):\n{plan}"
+        )
+
+
+def _find_all(s: str, sub: str):
+    i = s.find(sub)
+    while i != -1:
+        yield i
+        i = s.find(sub, i + 1)
+
+
 def assert_broadcast_join(df: DataFrame) -> None:
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (

@@ -112,3 +112,80 @@ def test_page_chunks_marker_prefix(spark):
         assert r["content"].startswith(f"||{r['pg_number']}||\n")
         assert r["title"] is None
         assert r["chunk_id"] == r["pg_number"]
+
+
+def _py_sep_cuts(content: str) -> list[str]:
+    """Python reference of the separator-mode cut recurrence (the same
+    hierarchy as operators/chunk.py markdown_chunks_separator)."""
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    out, start = [], 1
+    while True:
+        if len(content) - start + 1 <= CHUNK_SIZE:
+            out.append(content[start - 1:])
+            return out
+        tail = content[start - 1 + stride: start - 1 + CHUNK_SIZE]
+        p2 = tail.rfind("\n\n")
+        if p2 >= 0:
+            pos = p2 + 1
+        else:
+            pos = tail.rfind("\n")
+            if pos < 0:
+                pos = tail.rfind(" ")
+            if pos < 0:
+                pos = CHUNK_OVERLAP - 1
+        cut = start + stride + pos
+        out.append(content[start - 1: cut])
+        start = cut - CHUNK_OVERLAP + 1
+
+
+def test_separator_mode_prefers_paragraph_breaks(spark):
+    """Full hierarchy: a tail containing '\\n\\n' must cut at the LAST
+    paragraph break (ending at its second newline), not at a later lone
+    newline or space — pinned against a Python reference AND the DuckDB
+    recursive-CTE oracle fragment on the same content."""
+    import duckdb
+
+    from gpt4ocontentextraction_spark.oracles import _duck_cut
+    from gpt4ocontentextraction_spark.operators.chunk import (
+        markdown_chunks_separator,
+    )
+
+    # paragraphs of varying width separated by \n\n; later text after the
+    # last pair in each tail contains lone newlines and spaces, so a
+    # single-separator implementation would cut elsewhere.
+    paras = []
+    for i in range(140):
+        words = " ".join(f"p{i}w{j}" for j in range(40 + (i * 7) % 23))
+        paras.append(words + ("\nline2 of para" if i % 3 == 0 else ""))
+    content = "\n\n".join(paras)
+    assert len(content) > 3 * CHUNK_SIZE and "\n\n" in content[7372:8192]
+
+    expected = _py_sep_cuts(content)
+    assert any(t.endswith("\n\n") for t in expected[:-1])
+
+    # Spark path: wrap the content as one extracted text span
+    extracted = spark.createDataFrame(
+        [("0", [("text", content, "", 0)])],
+        "doc_id string, spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>",
+    )
+    rows = markdown_chunks_separator(extracted).collect()
+    got = [_raw(r) for r in sorted(rows, key=lambda r: r["chunk_id"])]
+    assert got == expected
+
+    # DuckDB recursive-CTE recurrence on the same content
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sections AS SELECT ? AS content", [content])
+    cut = _duck_cut("content", "start_pos")
+    duck = con.execute(f"""
+        WITH RECURSIVE cuts AS (
+          SELECT content, CAST(1 AS BIGINT) AS start_pos, 0 AS k
+          FROM sections
+          UNION ALL
+          SELECT content, {cut} - 819 AS start_pos, k + 1 AS k
+          FROM cuts WHERE length(content) - start_pos + 1 > 8192
+        )
+        SELECT substr(content, start_pos, {cut} - start_pos + 1) AS t
+        FROM cuts ORDER BY k
+    """).fetchall()
+    assert [r[0] for r in duck] == expected

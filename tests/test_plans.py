@@ -95,3 +95,37 @@ def test_extract_plan_is_single_stage(spark, flat_docs):
     assert "(5)" not in plan  # exactly 4 nodes: scan, c2r, project, mapInArrow
     assert "MapInArrow" in plan
     assert "Sort " not in plan
+
+
+def test_hybrid_topk_has_no_unpartitioned_window(spark):
+    """VERDICT r2 finding #1: hybrid ranking must never move the corpus
+    through a single unpartitioned WindowExec. The candidate-cut rewrite
+    ranks inside bounded top-N sets with a constant-valued partition key;
+    this pins both the absence of empty partition specs and the
+    TakeOrderedAndProject candidate cuts."""
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_no_unpartitioned_window,
+        physical_plan,
+    )
+
+    df = hybrid_rrf_topk(spark, SF)
+    assert_no_unpartitioned_window(df)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_unpartitioned_window_detector_fires(spark, flat_docs):
+    from pyspark.sql import Window
+
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_no_unpartitioned_window,
+    )
+
+    bad = flat_docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("doc_id")).alias("r"),
+    )
+    with pytest.raises(AssertionError):
+        assert_no_unpartitioned_window(bad)

@@ -96,3 +96,18 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     expected_closed = {r for r in batch if r[0] < horizon}
     assert expected_closed <= streamed
     assert streamed  # non-empty
+
+
+def test_hybrid_candidate_cut_is_exact_at_tiny_n_cand(spark):
+    """The top-N candidate cut + order-statistic escape hatch must stay
+    EXACT even when n_cand is far below the ranks involved (forces both
+    the partial-doc resolution and the known<k doubling path)."""
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = [tuple(r) for r in hybrid_rrf_topk(spark, sf, n_cand=10**6).collect()]
+    for n in (6, 25):
+        got = [tuple(r) for r in hybrid_rrf_topk(spark, sf, n_cand=n).collect()]
+        assert got == full, f"n_cand={n} diverged"
