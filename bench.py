@@ -68,6 +68,7 @@ HEADLINE = (
     "resume_pending",
     "minhash_lsh",
     "simhash_pairs_banded",
+    "simhash64_pairs_banded",
     "embedding_neardup_lsh",
     "cosine_topk",
     "bm25_topk",

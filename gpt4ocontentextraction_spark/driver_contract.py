@@ -575,6 +575,23 @@ def q_simhash_pairs_banded(spark, sf_dir):
     return dedup.simhash_pairs_banded(_docs(spark, sf_dir))
 
 
+@register("simhash64_fingerprints", dedup.SIMHASH64_FP_SQL)
+def q_simhash64(spark, sf_dir):
+    """64-bit SimHash fingerprints (two independent polyhash folds;
+    bit-exact vs the oracle incl. the two's-complement bit 63)."""
+    return dedup.simhash64_fingerprints(_docs(spark, sf_dir))
+
+
+@register("simhash64_pairs_banded", dedup.SIMHASH64_PAIRS_BANDED_SQL)
+def q_simhash64_pairs_banded(spark, sf_dir):
+    """PRODUCTION SimHash near-dup at scale (SCALE.md): 64-bit
+    fingerprints, 4 x 16-bit bands (candidates ~n^2/65536 per band vs
+    n^2/256 for the 32-bit form), exact hamming verify, uncapped variant
+    corpus. Oracle is exact all-pairs — equality proves banded recall=1
+    at hamming <= 3 (pigeonhole, 4 bands)."""
+    return dedup.simhash64_pairs_banded(_docs(spark, sf_dir))
+
+
 @register("ngram_jaccard", dedup.NGRAM_JACCARD_SQL)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-shingle Jaccard over a bounded all-pairs block."""
@@ -706,11 +723,13 @@ def q_ivf_topk(spark, sf_dir):
     return retrieval.ivf_topk(spark, sf_dir)
 
 
-@register("ivf_kmeans_topk", None)
+@register("ivf_kmeans_topk", retrieval.IVF_KMEANS_GOLD_SQL)
 def q_ivf_kmeans_topk(spark, sf_dir):
-    """IVF with real Lloyd's k-means centroids + multi-probe search. No
-    SQL oracle (iterative, float-mean order-sensitive) — rows-only check;
-    tests/test_retrieval_ivf.py pins recall against brute force."""
+    """IVF with real Lloyd's k-means centroids + multi-probe search.
+    Deterministic (decimal-sum Lloyd updates are order-independent), so
+    the oracle is a golden row set keyed by a table fingerprint;
+    tests/test_retrieval_ivf.py pins recall vs brute force and
+    partitioning-independence."""
     return retrieval.ivf_kmeans_topk(spark, sf_dir)
 
 

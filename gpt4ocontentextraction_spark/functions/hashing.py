@@ -49,6 +49,15 @@ def spark_polyhash(col_expr: str) -> str:
     )
 
 
+def spark_polyhash37(col_expr: str) -> str:
+    """Second independent 32-bit fold (multiplier 37) — pairs with
+    spark_polyhash to build 64-bit SimHash fingerprints."""
+    return (
+        f"aggregate(split({col_expr}, ''), 0L,"
+        f" (acc, c) -> (acc * 37 + ascii(c)) % {MOD})"
+    )
+
+
 def spark_polyhash_over_array(arr_expr: str) -> str:
     """array<string> -> array<long> of polyhashes."""
     return (
@@ -66,6 +75,15 @@ def duck_polyhash(col_expr: str) -> str:
         f" list_transform(string_split({col_expr}, ''),"
         f" c -> CAST(greatest(unicode(c), 0) AS BIGINT))),"
         f" (acc, c) -> (acc * 31 + c) % {MOD})"
+    )
+
+
+def duck_polyhash37(col_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(string_split({col_expr}, ''),"
+        f" c -> CAST(greatest(unicode(c), 0) AS BIGINT))),"
+        f" (acc, c) -> (acc * 37 + c) % {MOD})"
     )
 
 

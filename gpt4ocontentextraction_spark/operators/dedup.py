@@ -306,6 +306,98 @@ def simhash_pairs_banded(
     ).filter(F.col("hamming") <= max_dist)
 
 
+# ---------------------------------------------------------------------------
+# 64-bit SimHash — the production variant SCALE.md prescribes for 10^12-doc
+# corpora: 64-bit fingerprints split into 4 x 16-bit bands. Same pigeonhole
+# guarantee (BANDS > max_dist => recall=1 at hamming <= 3), but 65536-value
+# bands keep candidate counts ~n^2/65536 per band instead of n^2/256 — the
+# difference between a tiny verify set and quadratic doom at 10^8+ docs.
+# The extra 32 bits come from a second, independent polyhash fold
+# (multiplier 37) so all 64 vote bits are distinct functions of the word.
+# ---------------------------------------------------------------------------
+
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = 16
+_MIN_LONG = -(1 << 63)
+
+
+def simhash64_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit relational simhash: explode words, hash twice (31- and
+    37-multiplier polyhash), ONE codegen'd aggregation with 64 per-bit
+    vote sums, reassemble. Bit 63's contribution is the two's-complement
+    -2^63 so the fingerprint stays a plain BIGINT on both engines."""
+    from ..functions.hashing import spark_polyhash, spark_polyhash37
+
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    hashed = words.select(
+        "doc_id",
+        F.expr(spark_polyhash("w")).alias("h1"),
+        F.expr(spark_polyhash37("w")).alias("h2"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.expr(
+                    f"(shiftright(h1, {j}) & 1) = 1"
+                    if j < 32
+                    else f"(shiftright(h2, {j - 32}) & 1) = 1"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(64):
+        val = F.lit(_MIN_LONG) if j == 63 else F.lit(1 << j)
+        bit = F.when(F.col(f"s{j}") > 0, val).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("long").alias("simhash64"))
+
+
+def simhash64_pairs_banded(
+    docs: DataFrame, max_dist: int = SIMHASH_MAX_DIST
+) -> DataFrame:
+    """Production-scale SimHash near-dup: 64-bit fingerprints, 4 x 16-bit
+    band equality-join candidates, exact hamming verify. Pigeonhole:
+    4 bands > max_dist=3 => recall=1, proven by gate equality with the
+    exact all-pairs oracle over the uncapped variant corpus."""
+    fp = simhash64_fingerprints(_variant_corpus(docs))
+    mask = (1 << SIMHASH64_BAND_BITS) - 1
+    band_expr = (
+        f"transform(sequence(0, {SIMHASH64_BANDS - 1}), b -> concat_ws('_',"
+        f" cast(b as string),"
+        f" cast((shiftright(simhash64, b * {SIMHASH64_BAND_BITS}) & {mask})"
+        f" as string)))"
+    )
+    bands = fp.select(
+        "doc_id", "simhash64", F.explode(F.expr(band_expr)).alias("band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash64").alias("fp_a"), "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash64").alias("fp_b"), "band_key"
+    )
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        .cast("long")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= max_dist)
+
+
 def simhash_pairs(docs: DataFrame, max_doc_id: int = 300, max_dist: int = 8) -> DataFrame:
     """Exact all-pairs hamming over a small id block — a VERIFICATION
     utility (e.g. auditing banded recall on a sample), never the
@@ -380,6 +472,55 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DIST}
+"""
+
+from ..functions.hashing import duck_polyhash37  # noqa: E402
+
+
+def _duck_simhash64_base(src: str) -> str:
+    """DuckDB CTE chain computing 64-bit simhash fingerprints over ``src``
+    — same arithmetic as simhash64_fingerprints (two polyhash folds,
+    64 vote bits, -2^63 contribution for bit 63)."""
+    return f"""
+words64 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, UNNEST(string_split(text, ' ')) AS w
+  FROM {src}
+),
+whash64 AS (
+  SELECT doc_id, {duck_polyhash('w')} AS h1, {duck_polyhash37('w')} AS h2
+  FROM words64
+),
+bits64 AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (CASE WHEN j < 32 THEN (h1 >> j) & 1
+                             ELSE (h2 >> (j - 32)) & 1 END) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM whash64, (SELECT UNNEST(range(64)) AS j)
+  GROUP BY doc_id, j
+),
+fp64 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN
+                    (CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                          ELSE (CAST(1 AS BIGINT) << j) END)
+                  ELSE 0 END) AS BIGINT) AS simhash64
+  FROM bits64 GROUP BY doc_id
+)
+"""
+
+
+SIMHASH64_FP_SQL = f"""
+WITH {_duck_simhash64_base('documents')}
+SELECT doc_id, simhash64 FROM fp64
+"""
+
+SIMHASH64_PAIRS_BANDED_SQL = f"""
+WITH {DUCK_VARIANT_CORPUS.strip()},
+{_duck_simhash64_base('corpus').strip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+FROM fp64 a JOIN fp64 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash64, b.simhash64)) <= {SIMHASH_MAX_DIST}
 """
 
 

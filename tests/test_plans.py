@@ -129,3 +129,14 @@ def test_unpartitioned_window_detector_fires(spark, flat_docs):
     )
     with pytest.raises(AssertionError):
         assert_no_unpartitioned_window(bad)
+
+
+def test_simhash64_banded_has_no_nested_loop(spark, flat_docs):
+    from gpt4ocontentextraction_spark.operators.dedup import (
+        simhash64_pairs_banded,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_no_nested_loop,
+    )
+
+    assert_no_nested_loop(simhash64_pairs_banded(flat_docs))

@@ -31,3 +31,44 @@ def test_ivf_kmeans_deterministic_across_runs(spark):
     a = [tuple(r) for r in ivf_kmeans_topk(spark, SF, k=5).collect()]
     b = [tuple(r) for r in ivf_kmeans_topk(spark, SF, k=5).collect()]
     assert a == b
+
+
+def test_ivf_kmeans_partitioning_independent(spark):
+    """The decimal-sum Lloyd update must make the fitted centroids (and
+    the golden-gate result) independent of how the aggregation shuffles."""
+    a = [tuple(r) for r in ivf_kmeans_topk(spark, SF, k=5).collect()]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = [tuple(r) for r in ivf_kmeans_topk(spark, SF, k=5).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
+def test_ivf_kmeans_matches_golden_gate_rows(spark):
+    import duckdb
+
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        IVF_KMEANS_GOLD_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{SF}/embeddings.parquet')"
+    )
+    gold = sorted(tuple(r) for r in con.execute(IVF_KMEANS_GOLD_SQL).fetchall())
+    got = sorted(tuple(r) for r in ivf_kmeans_topk(spark, SF, k=5).collect())
+    assert got == gold
+
+
+def test_ivf_assignment_plan_has_no_exchange(spark):
+    """VERDICT r2 finding #3: bucket assignment must be a projection, not
+    crossJoin x K + window — the whole ivf_topk plan carries no Exchange,
+    no Window, no Join."""
+    from gpt4ocontentextraction_spark.operators.retrieval import ivf_topk
+    from gpt4ocontentextraction_spark.plans.inspect import physical_plan
+
+    p = physical_plan(ivf_topk(spark, SF))
+    assert "Exchange" not in p and "Window" not in p and "Join" not in p
