@@ -121,7 +121,143 @@ HAVING COUNT(*) >= 2
 # ---------------------------------------------------------------------------
 
 
+def _minhash_encode_udf():
+    """Arrow-vectorized shingle-hash + MinHash-band encoder.
+
+    Computes, per document text, the SAME values as the lambda spec
+    (_SHINGLE_HASHES + the (a*h+b)%MOD signature + band keys — kept in
+    minhash_lsh_pairs_expr, equality pinned in tests/test_dedup_forms.py)
+    but in numpy: Catalyst runs higher-order-function lambdas interpreted
+    (the r2 bench's dominant minhash cost), while this path hashes each
+    UNIQUE word once with vectorized modular arithmetic and combines word
+    hashes into shingle hashes via 31^k power tables — exact integer
+    arithmetic, bit-identical to the char fold because
+    P(a + ' ' + b) = (P(a) * 31^(len(b)+1) + 32 * 31^len(b) + P(b)) mod M.
+    Shingles dedupe by word-id triple (string identity), matching
+    array_distinct over shingle strings."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    seeds_a = np.array([a for a, _ in MINHASH_SEEDS], dtype=np.int64)
+    seeds_b = np.array([b for _, b in MINHASH_SEEDS], dtype=np.int64)
+
+    def _shingle_core(texts):
+        """(sh_docs, sh_vals, bounds, n): deduped shingle hashes grouped
+        by doc + per-doc group starts."""
+        n = len(texts)
+        words_per_doc = [t.split(" ") for t in texts]
+        wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+        flat = [w for ws in words_per_doc for w in ws]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        lens = np.array([len(u) for u in uniques], dtype=np.int64)
+        max_len = int(lens.max()) if len(lens) else 0
+        pow31 = np.ones(max_len + 2, dtype=np.int64)
+        for k_ in range(1, max_len + 2):
+            pow31[k_] = pow31[k_ - 1] * 31 % MOD
+        # polyhash per unique word: sum cp_i * 31^(L-1-i) mod M, with the
+        # multiply-mod taken per char so word sums stay < L * 2^31
+        ph = np.zeros(len(uniques), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            joined = "".join(uniques[nz])
+            cp = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            lz = lens[nz]
+            ends = np.cumsum(lz)
+            starts = ends - lz
+            pos_from_end = np.repeat(ends, lz) - 1 - np.arange(len(cp))
+            contrib = cp * pow31[pos_from_end] % MOD
+            ph[nz] = np.add.reduceat(contrib, starts) % MOD
+        whash = ph[codes]
+        wlen = lens[codes]
+
+        def combine(p0, l1, p1):
+            return (p0 * pow31[l1 + 1] + 32 * pow31[l1] + p1) % MOD
+
+        doc_off = np.cumsum(wc) - wc
+        # shingle hashes for docs with >= 3 words, deduped by word-id triple
+        c3 = np.where(wc >= 3, wc - 2, 0)
+        sh_doc = np.repeat(np.arange(n), c3)
+        within = np.arange(int(c3.sum())) - np.repeat(np.cumsum(c3) - c3, c3)
+        i0 = doc_off[sh_doc] + within
+        s1 = combine(whash[i0], wlen[i0 + 1], whash[i0 + 1])
+        sv = combine(s1, wlen[i0 + 2], whash[i0 + 2])
+        t0, t1, t2 = codes[i0], codes[i0 + 1], codes[i0 + 2]
+        order = np.lexsort((t2, t1, t0, sh_doc))
+        sd = sh_doc[order]
+        u0, u1, u2 = t0[order], t1[order], t2[order]
+        keep = np.r_[
+            True,
+            (sd[1:] != sd[:-1]) | (u0[1:] != u0[:-1])
+            | (u1[1:] != u1[:-1]) | (u2[1:] != u2[:-1]),
+        ]
+        sh_docs = sd[keep]
+        sh_vals = sv[order][keep]
+        # docs with < 3 words: one shingle = the whole text
+        short = np.flatnonzero(wc < 3)
+        if len(short):
+            p = whash[doc_off[short]]
+            two = wc[short] == 2
+            if two.any():
+                i = doc_off[short[two]]
+                p = p.copy()
+                p[two] = combine(whash[i], wlen[i + 1], whash[i + 1])
+            sh_docs = np.concatenate([sh_docs, short])
+            sh_vals = np.concatenate([sh_vals, p])
+            reorder = np.argsort(sh_docs, kind="stable")
+            sh_docs, sh_vals = sh_docs[reorder], sh_vals[reorder]
+        bounds = np.flatnonzero(np.r_[True, sh_docs[1:] != sh_docs[:-1]])
+        return sh_vals, bounds, n
+
+    @pandas_udf("array<string>")
+    def band_keys(texts):
+        # band path never materializes the shingle arrays — only 8 short
+        # key strings per doc cross the Arrow boundary
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        sh_vals, bounds, n = _shingle_core(texts)
+        mh = np.empty((n, len(seeds_a)), dtype=np.int64)
+        for s_i in range(len(seeds_a)):
+            hv = (seeds_a[s_i] * sh_vals + seeds_b[s_i]) % MOD
+            mh[:, s_i] = np.minimum.reduceat(hv, bounds)
+        return pd.Series(
+            [
+                [
+                    f"{b_}_{row[b_ * ROWS_PER_BAND]}_{row[b_ * ROWS_PER_BAND + 1]}"
+                    for b_ in range(N_BANDS)
+                ]
+                for row in mh.tolist()
+            ]
+        )
+
+    @pandas_udf("array<long>")
+    def shingle_hashes(texts):
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        sh_vals, bounds, _n = _shingle_core(texts)
+        return pd.Series(np.split(sh_vals, bounds[1:]))
+
+    return band_keys, shingle_hashes
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Production MinHash+LSH near-dup: banded candidates from the
+    vectorized encoder, exact-Jaccard verify on candidates only."""
+    corpus = _variant_corpus(docs)
+    band_keys, shingle_hashes = _minhash_encode_udf()
+    base = corpus.select("doc_id", shingle_hashes("text").alias("sh"))
+    bands = corpus.select(
+        "doc_id", F.explode(band_keys("text")).alias("band_key")
+    )
+    return _minhash_verify(bands, base)
+
+
+def minhash_lsh_pairs_expr(docs: DataFrame) -> DataFrame:
+    """The semantics-defining JVM-expression form (interpreted HOF
+    lambdas — kept as the spec; equality with the vectorized production
+    path is pinned in tests/test_dedup_forms.py)."""
     corpus = _variant_corpus(docs)
     base = corpus.select(
         "doc_id", F.expr(_SHINGLE_HASHES).alias("sh")
@@ -144,6 +280,12 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     bands = mh.select(
         "doc_id", F.explode(F.expr(band_expr)).alias("band_key")
     )
+    return _minhash_verify(bands, base)
+
+
+def _minhash_verify(bands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Band-bucket equality join -> candidate ids -> exact-Jaccard verify
+    (shared by the vectorized and expression forms)."""
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
@@ -153,7 +295,6 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sh = base
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -31,3 +31,17 @@ def test_simhash_empty_text_is_zero(spark):
             dedup.simhash_fingerprints_expr(docs).collect()}
     assert got == spec
     assert got[1] == 0  # all vote sums negative -> every bit 0
+
+
+def test_minhash_vectorized_equals_expr_spec(spark):
+    """The numpy encoder (production path) must produce exactly the pairs
+    of the JVM-lambda spec form (VERDICT r2 finding #5)."""
+    from gpt4ocontentextraction_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_expr,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in minhash_lsh_pairs(docs).collect())
+    b = sorted(tuple(r) for r in minhash_lsh_pairs_expr(docs).collect())
+    assert a and a == b
