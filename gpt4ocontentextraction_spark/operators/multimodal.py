@@ -45,7 +45,9 @@ FEATURES_DDL = (
 
 
 def _lcg_bytes(seed: int, n: int) -> np.ndarray:
-    # deterministic byte stream; numpy-vectorized LCG steps
+    # deterministic byte stream. The LCG recurrence is sequential, so this
+    # is a per-byte Python loop — fixture synthesis only, never a data
+    # path (payloads are tens of bytes).
     out = np.empty(n, dtype=np.uint8)
     x = np.uint64(seed % (1 << 31) or 1)
     a, c, m = np.uint64(1103515245), np.uint64(12345), np.uint64(1 << 31)
@@ -117,11 +119,21 @@ def ingest_media_dir(spark, path: str, recursive: bool = True) -> DataFrame:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 blob = bytes(blob)
+                # truncated/foreign blobs route to the real decoder and
+                # NEVER fall through to the fake-codec unpack below: if
+                # _decode_real is ever implemented to return decoded
+                # data, its result must be appended here, not ignored.
                 if len(blob) < HEADER_SIZE:  # pragma: no cover
-                    _decode_real(blob)  # truncated/foreign blob
+                    _decode_real(blob)
+                    raise AssertionError(
+                        "_decode_real returned; route its result"
+                    )
                 magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
                 if magic != MAGIC:  # pragma: no cover
                     _decode_real(blob)
+                    raise AssertionError(
+                        "_decode_real returned; route its result"
+                    )
                 frame_len = max(1, (w * h) // 64)
                 frames = max(1, (len(blob) - HEADER_SIZE) // frame_len)
                 ref = os.path.splitext(os.path.basename(p))[0]
@@ -154,8 +166,11 @@ def decode_features(media: DataFrame) -> DataFrame:
                 pdf["media_ref"], pdf["data"], pdf["n_frames"]
             ):
                 magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
-                if magic != MAGIC:
-                    _decode_real(blob)  # pragma: no cover
+                if magic != MAGIC:  # pragma: no cover
+                    _decode_real(blob)
+                    raise AssertionError(
+                        "_decode_real returned; route its result"
+                    )
                 payload = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_SIZE)
                 rows.append(
                     (

@@ -236,14 +236,16 @@ vcorpus AS (
 """
 
 
-def _band_keys_udf():
+def _band_keys_udf(bands: int = EMB_BANDS, band_bits: int = EMB_BAND_BITS):
     """Arrow-vectorized band-key computation: W[j,k] = (((9176(k+1) +
     5171(j+1)^2 + 13) mod P) / P) - 0.5 is the deterministic hyperplane
     matrix (sole definition of the planes), signature = sign of V @ W,
-    each EMB_BAND_BITS-bit band packed to an int key."""
+    each `band_bits`-bit band packed to an int key."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    assert bands * band_bits <= EMB_PLANES
 
     @pandas_udf("array<string>")
     def band_keys(v):
@@ -258,10 +260,10 @@ def _band_keys_udf():
             % _EMB_P
         ) / float(_EMB_P) - 0.5
         bits = (V @ W) > 0
-        weights = 1 << np.arange(EMB_BAND_BITS)
+        weights = 1 << np.arange(band_bits)
         per_band = []
-        for b in range(EMB_BANDS):
-            seg = bits[:, b * EMB_BAND_BITS: (b + 1) * EMB_BAND_BITS]
+        for b in range(bands):
+            seg = bits[:, b * band_bits: (b + 1) * band_bits]
             ids = seg @ weights
             per_band.append([f"{b}_{int(x)}" for x in ids])
         return pd.Series([list(t) for t in zip(*per_band)])
@@ -269,11 +271,51 @@ def _band_keys_udf():
     return band_keys
 
 
+def emb_lsh_candidate_recall(
+    cos_sim: float,
+    bands: int = EMB_BANDS,
+    band_bits: int = EMB_BAND_BITS,
+    planes: int = EMB_PLANES,
+) -> float:
+    """Probability that a pair at cosine `cos_sim` becomes a CANDIDATE
+    under the hyperplane-LSH banding (1 - (1 - (1-theta/pi)^r)^b). This
+    is the API's honesty knob: unlike SimHash's pigeonhole bands there is
+    no recall guarantee at the verify threshold itself — size bands to
+    the similarity you must catch, not to the output threshold."""
+    import math
+
+    if cos_sim >= 1.0:
+        return 1.0
+    theta = math.acos(max(-1.0, min(1.0, cos_sim)))
+    p_bit = 1.0 - theta / math.pi
+    assert bands * band_bits <= planes
+    return 1.0 - (1.0 - p_bit ** band_bits) ** bands
+
+
+# The similarity at which the default 4 x 16-bit geometry still catches
+# pairs with >= 99.9% probability (the gate corpus's qualifying pairs sit
+# at ~0.9998 where the miss rate is ~1.4e-5). A pair exactly AT the 0.99
+# verify threshold is only caught w.p. ~0.93 — callers needing guaranteed
+# recall at lower similarities must pass more/shorter bands.
+EMB_LSH_RELIABLE_SIM = 0.9995
+assert emb_lsh_candidate_recall(EMB_LSH_RELIABLE_SIM) >= 0.999
+
+
 def embedding_neardup_lsh(
-    spark, sf_dir, threshold: float = EMB_NEARDUP_THRESHOLD
+    spark,
+    sf_dir,
+    threshold: float = EMB_NEARDUP_THRESHOLD,
+    bands: int = EMB_BANDS,
+    band_bits: int = EMB_BAND_BITS,
 ) -> DataFrame:
     """Production embedding near-dup: hyperplane-LSH banded candidates +
-    exact-cosine verify over the (uncapped) variant corpus."""
+    exact-cosine verify over the (uncapped) variant corpus.
+
+    `threshold` is the VERIFY cutoff on exact cosine; candidate recall is
+    a property of the pair's similarity and the band geometry, NOT of
+    `threshold` — quantify it with emb_lsh_candidate_recall() and size
+    `bands`/`band_bits` to the similarity that must be caught (see
+    EMB_LSH_RELIABLE_SIM for the default geometry's reliable level)."""
     vecs = _variant_embeddings(_emb(spark, sf_dir))
     # Sign bits of the K projections. This is a dense matmul (n x D @
     # D x K) — the one shape Catalyst cannot express efficiently: lambda
@@ -282,11 +324,12 @@ def embedding_neardup_lsh(
     # (~30 s). An Arrow-vectorized pandas UDF does the matmul in numpy
     # (milliseconds); signatures only GENERATE candidates — correctness
     # still rests on the exact-cosine verify against the oracle.
-    bands = vecs.select(
-        "vec_id", F.explode(_band_keys_udf()("v")).alias("band_key")
+    keyed = vecs.select(
+        "vec_id",
+        F.explode(_band_keys_udf(bands, band_bits)("v")).alias("band_key"),
     )
-    a = bands.select(F.col("vec_id").alias("id_a"), "band_key")
-    b = bands.select(F.col("vec_id").alias("id_b"), "band_key")
+    a = keyed.select(F.col("vec_id").alias("id_a"), "band_key")
+    b = keyed.select(F.col("vec_id").alias("id_b"), "band_key")
     cand = (
         a.join(b, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))

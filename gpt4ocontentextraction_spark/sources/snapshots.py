@@ -136,17 +136,37 @@ class SnapshotTable:
                 threshold = int(s.rstrip("kmg") or "0") * mult
             except ValueError:
                 threshold = 10 << 20
-            committed_bytes = sum(
-                os.path.getsize(os.path.join(root, f))
-                for d in self.committed_dirs()
-                for root, _, fs in os.walk(d)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-            broadcast_done = 0 <= committed_bytes <= max(threshold, 0)
+            # estimate the BROADCAST side (the distinct doc_id projection),
+            # not the whole committed files: whole-file bytes include the
+            # heavy spans column and overshoot by orders of magnitude,
+            # dropping to a shuffled anti-join long before the id set is
+            # actually too big. Parquet footers give the doc_id column
+            # chunk sizes directly.
+            broadcast_done = 0 <= self._doc_id_bytes() <= max(threshold, 0)
         if broadcast_done:
             done = F.broadcast(done)
         return input_df.join(done, "doc_id", "left_anti")
+
+    def _doc_id_bytes(self) -> int:
+        """Uncompressed size of the doc_id column across committed files,
+        from parquet footer column-chunk stats — the size that actually
+        drives the resume anti-join's broadcast side."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for d in self.committed_dirs():
+            for root, _, fs in os.walk(d):
+                for f in fs:
+                    if not f.endswith(".parquet"):
+                        continue
+                    meta = pq.ParquetFile(os.path.join(root, f)).metadata
+                    for rg in range(meta.num_row_groups):
+                        g = meta.row_group(rg)
+                        for ci in range(g.num_columns):
+                            col = g.column(ci)
+                            if col.path_in_schema == "doc_id":
+                                total += col.total_uncompressed_size
+        return total
 
     # -- write path --------------------------------------------------------
 
@@ -206,10 +226,16 @@ class SnapshotTable:
                 F.sum("n_media").alias("n_media_emitted"),
             )
         )
-        metrics.write.mode("overwrite").parquet(
-            os.path.join(self.metrics_dir, commit_id)
-        )
-        n_docs = written.count()
+        # ONE read of the committed files: the per-partition metric rows
+        # (bounded by the partition count) come back to the driver, get
+        # written as the metrics file, and their n_docs sum replaces what
+        # used to be a second full written.count() scan.
+        metric_rows = metrics.collect()
+        spark.createDataFrame(metric_rows, metrics.schema).coalesce(1) \
+            .write.mode("overwrite").parquet(
+                os.path.join(self.metrics_dir, commit_id)
+            )
+        n_docs = sum(r["n_docs"] for r in metric_rows)
         self._publish(commit_id, {"run_id": run_id, "n_docs": n_docs})
         return commit_id
 
