@@ -10,6 +10,7 @@ the driver hashes values per column name.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,33 @@ def q_spanify(spark, sf_dir):
 def q_extract_spans(spark, sf_dir):
     """THE core operator (M5): full extraction kernel, exploded."""
     return _spans_out(extract(spanify(_docs(spark, sf_dir))))
+
+
+@register(
+    "extract_spans_pyscan",
+    f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text, media_ref,'
+    f' CAST("offset" AS BIGINT) AS offset FROM extracted',
+)
+def q_extract_spans_pyscan(spark, sf_dir):
+    """M5 via the fused Python-native scan+extract source
+    (sources/pyscan.py): parquet decode AND kernel both run inside the
+    Python worker, input bytes never cross JVM->Python. Same EXTRACT_SQL
+    oracle as extract_spans, so the fusion is gate-proven. The spanified
+    input is materialized to parquet once per (sf_dir, content) — the
+    fused source's contract is a parquet directory, mirroring how a real
+    deployment scans an ingested spans table."""
+    import hashlib
+    import tempfile
+
+    from .sources.pyscan import extract_scan
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    cache = os.path.join(tempfile.gettempdir(), f"pyscan_gate_{key}", "spans")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        spanify(_docs(spark, sf_dir)).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    return _spans_out(extract_scan(spark, cache))
 
 
 @register(
