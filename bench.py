@@ -132,17 +132,42 @@ def _level_conf(cores: int) -> dict:
     return {
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_BATCH),
         "spark.ui.showConsoleProgress": "false",
+        # file-packing otherwise picks task counts that aren't multiples
+        # of the core count (observed: 9 tasks at local[8] = a full second
+        # wave for one straggler task; 32 at local[32]) — pin scan
+        # parallelism to 4 clean waves at every level so the two levels
+        # run the same layout relative to their size.
+        "spark.sql.files.minPartitionNum": str(4 * cores),
         "spark.driver.extraJavaOptions": (
             f"-Xms14g -XX:+AlwaysPreTouch -XX:ActiveProcessorCount={cores}"
         ),
     }
 
 
+def _steady_window(pipeline, n_docs: int, min_sec: float):
+    """Back-to-back identical jobs for >= min_sec; returns
+    (docs_per_sec, jobs, elapsed_sec)."""
+    done = 0
+    t0 = time.perf_counter()
+    while True:
+        _noop_write(pipeline)
+        done += n_docs
+        elapsed = time.perf_counter() - t0
+        if elapsed >= min_sec:
+            return done / elapsed, done // n_docs, elapsed
+
+
 def _measure_level(cores: int, spans_dir: str, min_sec: float) -> None:
     """Subprocess entry: ONE level's steady-state measurement in a FRESH
     JVM (in-process session restarts reuse the first JVM, silently
     dropping per-level -Xms/AlwaysPreTouch/ActiveProcessorCount — measured
-    as a large scaling artifact). Prints one JSON line."""
+    as a large scaling artifact). Prints one JSON line.
+
+    Besides the full pipeline, two stripped probes run in the SAME
+    process/window so the per-job cost decomposes within one interference
+    regime: scan-only (parquet decode -> noop, pure JVM) and an identity
+    mapInArrow (scan + the full Arrow IPC round trip through the Python
+    workers, zero kernel work). full = scan + IPC + kernel."""
     from gpt4ocontentextraction_spark.operators.extract import extract
     from gpt4ocontentextraction_spark.session import get_spark
 
@@ -157,25 +182,41 @@ def _measure_level(cores: int, spans_dir: str, min_sec: float) -> None:
     t_warm = time.perf_counter()
     _noop_write(pipeline)  # warmup job: spawn workers, JIT, page cache
     warmup = time.perf_counter() - t_warm
-    done = 0
-    t0 = time.perf_counter()
-    while True:
-        _noop_write(pipeline)
-        done += n_docs
-        elapsed = time.perf_counter() - t0
-        if elapsed >= min_sec:
-            break
+    rate, jobs, elapsed = _steady_window(pipeline, n_docs, min_sec)
+
+    # fused Python-native scan+extract (sources/pyscan.py): same kernel,
+    # same input files, but parquet decode runs IN the Python worker and
+    # input bytes never cross JVM->Python — the engine's answer to the
+    # non-scaling IPC term the decomposition below exposes.
+    from gpt4ocontentextraction_spark.sources.pyscan import extract_scan
+
+    fused = extract_scan(spark, spans_dir, partitions=4 * cores)
+    _noop_write(fused)  # warm the fused path's workers
+    fused_rate, _, _ = _steady_window(fused, n_docs, min_sec)
+
+    def _identity(it):
+        yield from it
+
+    ident = spans.mapInArrow(_identity, spans.schema)
+    probe_sec = max(8.0, min_sec / 4)
+    _noop_write(spans)
+    scan_rate, _, _ = _steady_window(spans, n_docs, probe_sec)
+    _noop_write(ident)
+    ident_rate, _, _ = _steady_window(ident, n_docs, probe_sec)
     spark.stop()
     print(
         json.dumps(
             {
                 "cores": cores,
                 "n_docs": n_docs,
-                "docs_per_sec": done / elapsed,
+                "docs_per_sec": rate,
+                "fused_docs_per_sec": round(fused_rate),
+                "scan_docs_per_sec": round(scan_rate),
+                "ident_docs_per_sec": round(ident_rate),
                 "startup_sec": round(startup, 1),
                 "warmup_sec": round(warmup, 1),
                 "window_sec": round(elapsed, 1),
-                "jobs": done // n_docs,
+                "jobs": jobs,
             }
         )
     )
@@ -234,23 +275,40 @@ def run_scaling() -> dict:
     spark.stop()
 
     best: dict[int, float] = {c: 0.0 for c in SCALING_LEVELS}
+    best_fused: dict[int, float] = {c: 0.0 for c in SCALING_LEVELS}
+    best_m: dict[int, dict] = {}
     overhead: dict[int, dict] = {}
     rounds: list[dict[int, float]] = []
+    rounds_fused: list[dict[int, float]] = []
     n_docs = None
+    round_ceilings: list[float] = []
     for _round in range(ROUNDS):
         this_round: dict[int, float] = {}
+        this_round_fused: dict[int, float] = {}
         for cores in SCALING_LEVELS:
             m = _measure_level_subprocess(cores, spans_dir)
             if m is None:
                 continue
             n_docs = m["n_docs"]
             this_round[cores] = m["docs_per_sec"]
-            best[cores] = max(best[cores], m["docs_per_sec"])
+            this_round_fused[cores] = m.get("fused_docs_per_sec", 0)
+            best_fused[cores] = max(best_fused[cores], this_round_fused[cores])
+            if m["docs_per_sec"] > best[cores]:
+                best[cores] = m["docs_per_sec"]
+                best_m[cores] = m
             prev = overhead.get(cores)
             cur = {k: m[k] for k in ("startup_sec", "warmup_sec", "window_sec", "jobs")}
             if prev is None or cur["startup_sec"] < prev["startup_sec"]:
                 overhead[cores] = cur
         rounds.append(this_round)
+        rounds_fused.append(this_round_fused)
+        # host pure-compute ceiling measured INSIDE the same interference
+        # window as this round's two levels: external neighbor load hits
+        # the hi level ~4x harder than the lo level, so an engine/ceiling
+        # ratio is only meaningful when both come from the same window.
+        round_ceilings.append(
+            _kernel_scaling(spans_dir, SCALING_LEVELS)["efficiency"]
+        )
 
     # levels that lost every round to a wedge/timeout get two more tries
     for _retry in range(2):
@@ -262,6 +320,7 @@ def run_scaling() -> dict:
             if m is not None:
                 n_docs = m["n_docs"]
                 best[cores] = m["docs_per_sec"]
+                best_m[cores] = m
                 overhead[cores] = {
                     k: m[k]
                     for k in ("startup_sec", "warmup_sec", "window_sec", "jobs")
@@ -279,31 +338,114 @@ def run_scaling() -> dict:
     # back-to-back inside one interference window), best complete round —
     # a cross-round best-of ratio would mix a quiet lo-window with a noisy
     # hi-window and mis-state the engine
-    paired = [
-        (r[hi] / r[lo]) / (hi / lo)
-        for r in rounds
-        if r.get(lo, 0) > 0 and r.get(hi, 0) > 0
-    ]
+    # headline = MEDIAN of the paired ratios: best-of a RATIO would select
+    # the round whose lo-window happened to be relatively noisier than its
+    # hi-window, biasing efficiency upward (best-of is only sound for
+    # throughput, where noise strictly adds time to one number). The max
+    # is kept as a supplementary "quietest window" figure. Each paired
+    # ratio is also divided by ITS OWN round's host ceiling — same-window
+    # engine-vs-host attribution.
+    paired: list[float] = []
+    paired_fused: list[float] = []
+    paired_vs_ceiling: list[float] = []
+    fused_vs_ceiling: list[float] = []
+    for r, rf, ceil_r in zip(rounds, rounds_fused, round_ceilings):
+        if r.get(lo, 0) > 0 and r.get(hi, 0) > 0:
+            e = (r[hi] / r[lo]) / (hi / lo)
+            paired.append(e)
+            if ceil_r > 0:
+                paired_vs_ceiling.append(e / ceil_r)
+        if rf.get(lo, 0) > 0 and rf.get(hi, 0) > 0:
+            ef = (rf[hi] / rf[lo]) / (hi / lo)
+            paired_fused.append(ef)
+            if ceil_r > 0:
+                fused_vs_ceiling.append(ef / ceil_r)
+    import statistics
+
     if paired:
-        eff = max(paired)
+        eff = statistics.median(paired)
+        eff_best = max(paired)
     elif best[lo] > 0 and best[hi] > 0:
-        eff = (best[hi] / best[lo]) / (hi / lo)
+        eff = eff_best = (best[hi] / best[lo]) / (hi / lo)
     else:
-        eff = 0.0
+        eff = eff_best = 0.0
+    if paired_fused:
+        eff_fused = statistics.median(paired_fused)
+        eff_fused_best = max(paired_fused)
+    elif best_fused[lo] > 0 and best_fused[hi] > 0:
+        eff_fused = eff_fused_best = (
+            best_fused[hi] / best_fused[lo]
+        ) / (hi / lo)
+    else:
+        eff_fused = eff_fused_best = 0.0
     ceiling = kernel_primary["efficiency"]
+    # per-job cost decomposition from each level's best window (the scan /
+    # ident probes run in the SAME subprocess/window as that level's full
+    # measurement): full = scan(JVM) + Arrow-IPC round trip + kernel.
+    decomp = {}
+    for cores, m in best_m.items():
+        if not m.get("scan_docs_per_sec") or not m.get("ident_docs_per_sec"):
+            continue
+        t_full = n_docs / m["docs_per_sec"]
+        t_scan = n_docs / m["scan_docs_per_sec"]
+        t_ident = n_docs / m["ident_docs_per_sec"]
+        decomp[f"local[{cores}]"] = {
+            "job_sec_full": round(t_full, 2),
+            "job_sec_scan_jvm": round(t_scan, 2),
+            "job_sec_arrow_ipc": round(t_ident - t_scan, 2),
+            "job_sec_python_kernel": round(t_full - t_ident, 2),
+        }
+    component_eff = {}
+    lo_d = decomp.get(f"local[{SCALING_LEVELS[0]}]")
+    hi_d = decomp.get(f"local[{SCALING_LEVELS[1]}]")
+    if lo_d and hi_d:
+        ratio = SCALING_LEVELS[1] / SCALING_LEVELS[0]
+        for k in (
+            "job_sec_scan_jvm",
+            "job_sec_arrow_ipc",
+            "job_sec_python_kernel",
+        ):
+            if hi_d[k] > 0 and lo_d[k] > 0:
+                component_eff[k.replace("job_sec_", "")] = round(
+                    (lo_d[k] / hi_d[k]) / ratio, 3
+                )
     return {
         "n_docs_per_job": n_docs,
         "docs_per_sec": out,
         "efficiency": round(eff, 3),
+        "efficiency_quietest_window": round(eff_best, 3),
         "per_round_efficiency": [round(e, 3) for e in paired],
+        "fused_docs_per_sec": {
+            f"local[{c}]": round(best_fused[c], 1) for c in SCALING_LEVELS
+        },
+        "fused_efficiency": round(eff_fused, 3),
+        "fused_efficiency_quietest_window": round(eff_fused_best, 3),
+        "fused_per_round_efficiency": [round(e, 3) for e in paired_fused],
         "levels": list(SCALING_LEVELS),
         "steady_state_sec_per_level": MIN_SEC,
         "overhead": {f"local[{c}]": v for c, v in overhead.items()},
+        "decomposition": decomp,
+        "component_scaling_efficiency": component_eff,
         "host_ceiling_same_levels": kernel_primary,
         "host_ceiling_4_16": kernel_control,
+        "per_round_host_ceiling": [round(c, 3) for c in round_ceilings],
+        # same-window attribution: each round's engine efficiency divided
+        # by that round's own host ceiling, median across rounds. The
+        # cross-window ratio (final ceiling vs median efficiency) is kept
+        # for continuity with earlier rounds.
         "efficiency_vs_host_ceiling": (
-            round(eff / ceiling, 3) if ceiling else None
+            round(statistics.median(paired_vs_ceiling), 3)
+            if paired_vs_ceiling
+            else (round(eff / ceiling, 3) if ceiling else None)
         ),
+        "fused_efficiency_vs_host_ceiling": (
+            round(statistics.median(fused_vs_ceiling), 3)
+            if fused_vs_ceiling
+            else None
+        ),
+        "per_round_efficiency_vs_host_ceiling": [
+            round(x, 3) for x in paired_vs_ceiling
+        ],
     }
 
 
@@ -376,16 +518,33 @@ def write_baseline_md(payload: dict) -> None:
         f"- extraction throughput local[{hi}]: "
         f"**{s['docs_per_sec'][f'local[{hi}]']} docs/sec**",
         f"- scaling efficiency ({lo}->{hi}, the contract's N vs 4N,"
-        f" target >= 0.8): **{s['efficiency']}**",
+        f" target >= 0.8): **{s['efficiency']}**"
+        f" (median of paired rounds; quietest window:"
+        f" {s['efficiency_quietest_window']})",
+        f"- FUSED python-scan path (sources/pyscan.py, gate query"
+        f" extract_spans_pyscan) throughput: "
+        f"{s['fused_docs_per_sec']}; scaling efficiency:"
+        f" **{s['fused_efficiency']}** (median; quietest window:"
+        f" {s['fused_efficiency_quietest_window']},"
+        f" per-round {s['fused_per_round_efficiency']})",
         f"- host pure-compute ceiling at {lo}->{hi}"
         f" (kernel-only, cache-resident, no Spark):"
-        f" **{ceil_main['efficiency']}** ({ceil_main['batches_per_sec']})",
-        f"- engine efficiency relative to that ceiling: "
-        f"**{s['efficiency_vs_host_ceiling']}**",
+        f" **{ceil_main['efficiency']}** ({ceil_main['batches_per_sec']});"
+        f" per-round same-window ceilings {s['per_round_host_ceiling']}",
+        f"- engine efficiency relative to the host ceiling (same-window"
+        f" pairs, median): **{s['efficiency_vs_host_ceiling']}**"
+        f" (per-round {s['per_round_efficiency_vs_host_ceiling']});"
+        f" fused path vs ceiling:"
+        f" **{s['fused_efficiency_vs_host_ceiling']}**",
         f"- control pair {ceil_ctrl['levels'][0]}->{ceil_ctrl['levels'][1]}"
         f" pure-compute ceiling: {ceil_ctrl['efficiency']}"
         f" ({ceil_ctrl['batches_per_sec']})",
         f"- per-level overhead (best observed): {s['overhead']}",
+        f"- per-job cost decomposition (scan(JVM) + Arrow IPC + Python"
+        f" kernel, probes share the window of each level's best run):"
+        f" {s['decomposition']}",
+        f"- per-component scaling efficiency {lo}->{hi}:"
+        f" {s['component_scaling_efficiency']}",
         "",
         "## Methodology / reading the numbers",
         "",
@@ -393,8 +552,11 @@ def write_baseline_md(payload: dict) -> None:
         "best steady-state window, while EFFICIENCY comes from paired",
         "same-round measurements (both levels back-to-back inside one",
         "interference window; a cross-window ratio would mix a quiet",
-        "8-core window with a noisy 32-core one). This shared host shows",
-        "up-to-4x external interference; noise only ever adds time.",
+        "8-core window with a noisy 32-core one). The headline efficiency",
+        "is the MEDIAN across paired rounds — best-of a ratio would select",
+        "the round whose lo-window was relatively noisier, biasing the",
+        "number upward. This shared host shows up-to-4x external",
+        "interference; noise only ever adds time.",
         f"Per-round paired efficiencies: {s['per_round_efficiency']}.",
         "Each level runs in a fresh subprocess/JVM with a",
         "pre-touched fixed JVM heap and ActiveProcessorCount=N — without",
@@ -438,6 +600,8 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction_docs_per_sec": scaling["docs_per_sec"],
         "scaling_efficiency": scaling["efficiency"],
+        "fused_extraction_docs_per_sec": scaling["fused_docs_per_sec"],
+        "fused_scaling_efficiency": scaling["fused_efficiency"],
         "scaling": scaling,
     }
     write_baseline_md(payload)

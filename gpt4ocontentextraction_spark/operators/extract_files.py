@@ -10,6 +10,11 @@ JVM boundary (only paths and per-file metrics do). This is the pattern
 native-engine vendors use to push whole stages out of the JVM, expressed
 with plain mapInArrow over a paths DataFrame.
 
+The composable counterpart is ``sources/pyscan.py``: a Spark 4 Python
+Data Source whose fused scan+extract output feeds downstream DataFrame
+operators through Catalyst (this module terminates in files; that one
+returns a DataFrame).
+
 Fault tolerance — the CORRECTNESS mechanism is the snapshot manifest, not
 rename: callers route visibility through :func:`run_file_extraction`,
 which writes into an uncommitted SnapshotTable commit dir and publishes

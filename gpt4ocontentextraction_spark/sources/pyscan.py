@@ -24,6 +24,14 @@ the reader is embarrassingly parallel — no shuffle, no driver data path.
 On a real cluster the same source works unchanged: every executor-side
 Python worker reads its own split from shared storage.
 
+Relation to ``operators/extract_files.py``: that module is the terminal
+file->file extraction JOB (python reads AND writes the parquet, Spark
+distributes paths; nothing returns to the JVM but metrics). This module
+is the composable half: a readable SOURCE whose extracted rows feed any
+downstream DataFrame operator (chunking, dedup, retrieval) through
+Catalyst — the fusion stops at the scan+kernel boundary so the rest of
+the plan stays relational.
+
 Reference parity: the fused output is bit-identical to
 ``extract(spanify(...))`` written to parquet (pinned by the
 ``extract_spans_pyscan`` gate against the same EXTRACT_SQL oracle and by
