@@ -282,7 +282,13 @@ def run_scaling() -> dict:
     rounds_fused: list[dict[int, float]] = []
     n_docs = None
     round_ceilings: list[float] = []
+    round_loads: list[float] = []
     for _round in range(ROUNDS):
+        # 1-min load BEFORE this round starts: external neighbor activity
+        # on this shared host (reported per round so a reader can see
+        # which windows were contended; the engine contributes ~0 at
+        # round start because the previous JVM has exited).
+        round_loads.append(round(os.getloadavg()[0], 1))
         this_round: dict[int, float] = {}
         this_round_fused: dict[int, float] = {}
         for cores in SCALING_LEVELS:
@@ -429,6 +435,7 @@ def run_scaling() -> dict:
         "host_ceiling_same_levels": kernel_primary,
         "host_ceiling_4_16": kernel_control,
         "per_round_host_ceiling": [round(c, 3) for c in round_ceilings],
+        "per_round_start_load": round_loads,
         # same-window attribution: each round's engine efficiency divided
         # by that round's own host ceiling, median across rounds. The
         # cross-window ratio (final ceiling vs median efficiency) is kept
@@ -530,7 +537,8 @@ def write_baseline_md(payload: dict) -> None:
         f"- host pure-compute ceiling at {lo}->{hi}"
         f" (kernel-only, cache-resident, no Spark):"
         f" **{ceil_main['efficiency']}** ({ceil_main['batches_per_sec']});"
-        f" per-round same-window ceilings {s['per_round_host_ceiling']}",
+        f" per-round same-window ceilings {s['per_round_host_ceiling']}"
+        f" (1-min load at round start: {s['per_round_start_load']})",
         f"- engine efficiency relative to the host ceiling (same-window"
         f" pairs, median): **{s['efficiency_vs_host_ceiling']}**"
         f" (per-round {s['per_round_efficiency_vs_host_ceiling']});"

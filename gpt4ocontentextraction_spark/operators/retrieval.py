@@ -807,12 +807,17 @@ def hybrid_rrf_topk(
     known_top = known.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
     head = known_top.collect()  # <= k rows
     if len(head) < k:
-        n_docs = docs.count()
-        if n_cand < n_docs:
+        # the doubling cap must cover BOTH lists: the cosine ranking is
+        # over embeddings, which can outnumber documents (extra vec_ids
+        # with no document row) — capping at docs.count() alone could
+        # leave the intersection short of k forever while the true
+        # inner-join answer has >= k rows.
+        n_univ = max(docs.count(), cos.count())
+        if n_cand < n_univ:
             return hybrid_rrf_topk(
-                spark, sf_dir, k=k, query_id=query_id, n_cand=min(2 * n_cand, n_docs)
+                spark, sf_dir, k=k, query_id=query_id, n_cand=min(2 * n_cand, n_univ)
             )
-        # corpus smaller than k after full coverage: known IS the answer
+        # universe smaller than k after full coverage: known IS the answer
         return known_top
 
     # docs in exactly one list, with the exact known rank and the other
@@ -850,7 +855,15 @@ def hybrid_rrf_topk(
         if (p["ub"], -p["doc_id"]) <= merged[k - 1][:2]:
             break
         side = cos if p["missing"] == "cos" else bm.withColumnRenamed("bm25", "sim")
-        s = side.filter(F.col("doc_id") == p["doc_id"]).collect()[0]["sim"]
+        side_rows = side.filter(F.col("doc_id") == p["doc_id"]).collect()
+        if not side_rows:
+            # absent from the other FULL list (e.g. a cosine candidate
+            # whose text shares no term with the query, so it has no BM25
+            # row at all): the RRF spec is an INNER join of the two full
+            # rankings (HYBRID_RRF_SQL), so such docs are excluded, not
+            # ranked-last. sf0.1 hits this; sf0.01 never did.
+            continue
+        s = side_rows[0]["sim"]
         n_better = side.filter(
             (F.col("sim") > s)
             | ((F.col("sim") == s) & (F.col("doc_id") < p["doc_id"]))

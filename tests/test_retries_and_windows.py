@@ -111,3 +111,60 @@ def test_hybrid_candidate_cut_is_exact_at_tiny_n_cand(spark):
     for n in (6, 25):
         got = [tuple(r) for r in hybrid_rrf_topk(spark, sf, n_cand=n).collect()]
         assert got == full, f"n_cand={n} diverged"
+
+
+def test_hybrid_excludes_docless_vectors_and_doubles_past_doc_count(
+    spark, tmp_path
+):
+    """Regression (found by the sf0.1 bench crash): the cosine ranking is
+    over EMBEDDINGS, which may contain vec_ids with no document row.
+    Such docs (a) must be EXCLUDED from the fused result — the RRF spec
+    is an inner join of the two full rankings — not crash the
+    order-statistic resolution, and (b) must not stall the n_cand
+    doubling loop, whose cap has to cover the larger of the two lists.
+    The corpus below puts two docless vectors at the top of the cosine
+    ranking so both paths execute."""
+    import duckdb
+
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        HYBRID_RRF_SQL,
+        hybrid_rrf_topk,
+    )
+
+    sf = str(tmp_path)
+    # 5 documents, every one containing the fixed query terms with
+    # distinct frequencies (distinct bm25 ranks)
+    docs = [
+        (i, "table " * (i + 1) + "data merge " + "filler " * (5 - i))
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "synthetic", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    # 10 embeddings: vecs 0-4 belong to the docs; 5-9 are docless.
+    # vec 7 and 8 are nearly parallel to the query (vec 0) => cosine
+    # ranks 2-3, ahead of every real doc except the query itself.
+    def vec(i):
+        if i in (7, 8):
+            return [1.0, float(i) * 1e-4, 0.0, 0.0]
+        return [1.0, 0.0, 0.1 * i, 1.0 + 0.2 * i] if i else [1.0, 0.0, 0.0, 0.0]
+
+    spark.createDataFrame(
+        [(i, vec(i), 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    got = sorted(
+        tuple(r) for r in hybrid_rrf_topk(spark, sf, n_cand=3).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT *"
+            f" FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.execute(HYBRID_RRF_SQL).fetchall())
+    assert got == want
+    assert len(got) == 5  # all five real docs fuse; docless vecs excluded
+    assert not {7, 8, 9} & {r[0] for r in got}
