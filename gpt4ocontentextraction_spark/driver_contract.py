@@ -85,18 +85,12 @@ def q_extract_spans(spark, sf_dir):
     f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text, media_ref,'
     f' CAST("offset" AS BIGINT) AS offset FROM extracted',
 )
-def q_extract_spans_pyscan(spark, sf_dir):
-    """M5 via the fused Python-native scan+extract source
-    (sources/pyscan.py): parquet decode AND kernel both run inside the
-    Python worker, input bytes never cross JVM->Python. Same EXTRACT_SQL
-    oracle as extract_spans, so the fusion is gate-proven. The spanified
-    input is materialized to parquet once per (sf_dir, content) — the
+def _pyscan_spans_dir(spark, sf_dir) -> str:
+    """Materialize spanify(documents) to parquet once per sf_dir — the
     fused source's contract is a parquet directory, mirroring how a real
     deployment scans an ingested spans table."""
     import hashlib
     import tempfile
-
-    from .sources.pyscan import extract_scan
 
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     cache = os.path.join(tempfile.gettempdir(), f"pyscan_gate_{key}", "spans")
@@ -104,7 +98,17 @@ def q_extract_spans_pyscan(spark, sf_dir):
         spanify(_docs(spark, sf_dir)).repartition(8).write.mode(
             "overwrite"
         ).parquet(cache)
-    return _spans_out(extract_scan(spark, cache))
+    return cache
+
+
+def q_extract_spans_pyscan(spark, sf_dir):
+    """M5 via the fused Python-native scan+extract source
+    (sources/pyscan.py): parquet decode AND kernel both run inside the
+    Python worker, input bytes never cross JVM->Python. Same EXTRACT_SQL
+    oracle as extract_spans, so the fusion is gate-proven."""
+    from .sources.pyscan import extract_scan
+
+    return _spans_out(extract_scan(spark, _pyscan_spans_dir(spark, sf_dir)))
 
 
 @register(
@@ -150,6 +154,38 @@ def q_markdown_chunks_fused(spark, sf_dir):
     from .operators.chunk_fused import markdown_chunks_fused
 
     return markdown_chunks_fused(spanify(_docs(spark, sf_dir)))
+
+
+@register(
+    "page_chunks_pyscan",
+    f"WITH {oracles.PAGE_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
+    f" pg_number, file_name, title, content FROM page_chunks",
+)
+def q_page_chunks_pyscan(spark, sf_dir):
+    """C2 with the WHOLE pipeline — parquet decode, extraction, chunk
+    assembly — fused into one Python stage via the span_extract source
+    (mode=page_chunks): only finished chunk rows cross into the JVM.
+    Same oracle as page_chunks / page_chunks_fused."""
+    from .sources.pyscan import extract_scan
+
+    return extract_scan(
+        spark, _pyscan_spans_dir(spark, sf_dir), mode="page_chunks"
+    )
+
+
+@register(
+    "markdown_chunks_pyscan",
+    f"WITH {oracles.MD_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
+    f" pg_number, file_name, title, content FROM md_chunks",
+)
+def q_markdown_chunks_pyscan(spark, sf_dir):
+    """C3 scan-to-chunks in one Python stage (span_extract
+    mode=markdown_chunks); same oracle as markdown_chunks[_fused]."""
+    from .sources.pyscan import extract_scan
+
+    return extract_scan(
+        spark, _pyscan_spans_dir(spark, sf_dir), mode="markdown_chunks"
+    )
 
 
 @register("chunk_dispatch", f"WITH {oracles.CHUNK_DISPATCH_SQL}")

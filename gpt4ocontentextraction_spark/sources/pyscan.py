@@ -83,9 +83,13 @@ class SpanExtractDataSource(DataSource):
                  files, capped at 512 groups)
       batch_rows pyarrow read batch size (default 512 — the measured
                  sweet spot for this kernel, see bench.py ARROW_BATCH)
-      mode       "extract" (default: fused scan+kernel) or "raw"
+      mode       "extract" (default: fused scan+kernel), "raw"
                  (python-native scan only, no kernel — the probe used to
-                 decompose scan cost from kernel cost in the bench)
+                 decompose scan cost from kernel cost in the bench),
+                 "page_chunks" or "markdown_chunks" (the WHOLE
+                 per-document pipeline — scan + extraction + chunk
+                 assembly — in one Python stage; only finished chunk rows
+                 ever cross into the JVM)
     """
 
     @classmethod
@@ -93,6 +97,10 @@ class SpanExtractDataSource(DataSource):
         return SOURCE_NAME
 
     def schema(self) -> str:
+        if self.options.get("mode") in ("page_chunks", "markdown_chunks"):
+            from ..operators.chunk_fused import _CHUNKS_DDL
+
+            return _CHUNKS_DDL
         return DOCUMENTS_DDL
 
     def reader(self, schema) -> "SpanExtractReader":
@@ -107,7 +115,12 @@ class SpanExtractReader(DataSourceReader):
         self.n_partitions = int(options.get("partitions", 0) or 0)
         self.batch_rows = int(options.get("batch_rows", 512))
         self.mode = options.get("mode", "extract")
-        if self.mode not in ("extract", "raw"):
+        if self.mode not in (
+            "extract",
+            "raw",
+            "page_chunks",
+            "markdown_chunks",
+        ):
             raise ValueError(f"span_extract: unknown mode {self.mode!r}")
 
     def partitions(self) -> list[InputPartition]:
@@ -124,16 +137,26 @@ class SpanExtractReader(DataSourceReader):
 
         from ..operators.extract import _bounded, _extract_batch
 
-        for path in partition.files:
-            pf = pq.ParquetFile(path)
-            batches = pf.iter_batches(
-                batch_size=self.batch_rows, columns=["doc_id", "spans"]
-            )
-            if self.mode == "raw":
-                yield from batches
-            else:
-                for batch in _bounded(batches):
-                    yield _extract_batch(batch)
+        def batches():
+            for path in partition.files:
+                pf = pq.ParquetFile(path)
+                yield from pf.iter_batches(
+                    batch_size=self.batch_rows, columns=["doc_id", "spans"]
+                )
+
+        if self.mode == "raw":
+            yield from batches()
+        elif self.mode == "page_chunks":
+            from ..operators.chunk_fused import page_chunks_batches
+
+            yield from page_chunks_batches(_bounded(batches()))
+        elif self.mode == "markdown_chunks":
+            from ..operators.chunk_fused import markdown_chunks_batches
+
+            yield from markdown_chunks_batches(_bounded(batches()))
+        else:
+            for batch in _bounded(batches()):
+                yield _extract_batch(batch)
 
 
 def register_span_extract(spark: SparkSession) -> None:

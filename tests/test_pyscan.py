@@ -75,3 +75,20 @@ def test_balanced_groups_defuse_size_skew(tmp_path):
 def test_missing_path_raises(spark, tmp_path):
     with pytest.raises(Exception):
         extract_scan(spark, str(tmp_path / "nope")).collect()
+
+
+def test_chunk_modes_match_fused_operators(spark, spans_dir):
+    from gpt4ocontentextraction_spark.operators.chunk_fused import (
+        markdown_chunks_fused,
+        page_chunks_fused,
+    )
+
+    raw = spark.read.parquet(spans_dir)
+    for mode, op in (
+        ("page_chunks", page_chunks_fused),
+        ("markdown_chunks", markdown_chunks_fused),
+    ):
+        fused = sorted(map(tuple, extract_scan(spark, spans_dir, mode=mode).collect()))
+        classic = sorted(map(tuple, op(raw).collect()))
+        assert fused == classic, mode
+        assert fused
