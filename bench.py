@@ -58,11 +58,14 @@ ARROW_BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_ARROW_BATCH", "512"))
 
 HEADLINE = (
     "extract_spans",
+    "extract_spans_pyscan",
     "merge_markdown",
     "page_chunks",
     "markdown_chunks",
     "page_chunks_fused",
     "markdown_chunks_fused",
+    "page_chunks_pyscan",
+    "markdown_chunks_pyscan",
     "markdown_chunks_separator",
     "page_markers",
     "resume_pending",
@@ -570,6 +573,16 @@ def write_baseline_md(payload: dict) -> None:
         "pre-touched fixed JVM heap and ActiveProcessorCount=N — without",
         "pretouch, lazy heap pages become host-level faults and the 32-core",
         "run collapses ~6x (measured).",
+        "",
+        "Decomposition reading: the three probe windows run back-to-back",
+        "inside one level's subprocess, so their DIFFERENCES approximate",
+        "the per-stage cost; a small negative python_kernel share means",
+        "the full pipeline overlapped kernel compute under the IPC transfer",
+        "(the stages pipeline within a task) and/or inter-probe noise —",
+        "read it as 'kernel fully hidden behind IPC at this level', which",
+        "is itself the signal: the Arrow IPC round trip, not compute, is",
+        "the binding constraint (its component efficiency is the lowest).",
+        "That is the term the fused python-scan source removes.",
         "",
         "The kernel-only row is the HOST's parallel-scaling ceiling: pure",
         "numpy/Arrow compute on a cache-resident batch, no Spark, no IPC,",
