@@ -80,11 +80,6 @@ def q_extract_spans(spark, sf_dir):
     return _spans_out(extract(spanify(_docs(spark, sf_dir))))
 
 
-@register(
-    "extract_spans_pyscan",
-    f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text, media_ref,'
-    f' CAST("offset" AS BIGINT) AS offset FROM extracted',
-)
 def _pyscan_spans_dir(spark, sf_dir) -> str:
     """Materialize spanify(documents) to parquet once per sf_dir — the
     fused source's contract is a parquet directory, mirroring how a real
@@ -101,6 +96,11 @@ def _pyscan_spans_dir(spark, sf_dir) -> str:
     return cache
 
 
+@register(
+    "extract_spans_pyscan",
+    f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text, media_ref,'
+    f' CAST("offset" AS BIGINT) AS offset FROM extracted',
+)
 def q_extract_spans_pyscan(spark, sf_dir):
     """M5 via the fused Python-native scan+extract source
     (sources/pyscan.py): parquet decode AND kernel both run inside the
