@@ -319,21 +319,41 @@ def run_scaling() -> dict:
             _kernel_scaling(spans_dir, SCALING_LEVELS)["efficiency"]
         )
 
-    # levels that lost every round to a wedge/timeout get two more tries
-    for _retry in range(2):
-        missing = [c for c in SCALING_LEVELS if best[c] == 0.0]
-        if not missing:
+    # a wedged/timed-out level costs its round's PAIR; the efficiency
+    # median needs at least two complete pairs, so run up to two extra
+    # full rounds until it has them (each with its own same-window
+    # ceiling, keeping the rounds/ceilings lists aligned).
+    def _complete_pairs() -> int:
+        lo_, hi_ = SCALING_LEVELS
+        return sum(
+            1 for r in rounds if r.get(lo_, 0) > 0 and r.get(hi_, 0) > 0
+        )
+
+    for _extra in range(2):
+        if _complete_pairs() >= 2:
             break
-        for cores in missing:
+        round_loads.append(round(os.getloadavg()[0], 1))
+        this_round, this_round_fused = {}, {}
+        for cores in SCALING_LEVELS:
             m = _measure_level_subprocess(cores, spans_dir)
-            if m is not None:
-                n_docs = m["n_docs"]
+            if m is None:
+                continue
+            n_docs = m["n_docs"]
+            this_round[cores] = m["docs_per_sec"]
+            this_round_fused[cores] = m.get("fused_docs_per_sec", 0)
+            best_fused[cores] = max(best_fused[cores], this_round_fused[cores])
+            if m["docs_per_sec"] > best[cores]:
                 best[cores] = m["docs_per_sec"]
                 best_m[cores] = m
                 overhead[cores] = {
                     k: m[k]
                     for k in ("startup_sec", "warmup_sec", "window_sec", "jobs")
                 }
+        rounds.append(this_round)
+        rounds_fused.append(this_round_fused)
+        round_ceilings.append(
+            _kernel_scaling(spans_dir, SCALING_LEVELS)["efficiency"]
+        )
 
     kernel_primary = _kernel_scaling(spans_dir, SCALING_LEVELS)
     kernel_control = _kernel_scaling(spans_dir, CONTROL_LEVELS)
@@ -573,6 +593,13 @@ def write_baseline_md(payload: dict) -> None:
         "pre-touched fixed JVM heap and ActiveProcessorCount=N — without",
         "pretouch, lazy heap pages become host-level faults and the 32-core",
         "run collapses ~6x (measured).",
+        "",
+        "Comparing paths: a pipeline with HIGHER absolute throughput at",
+        "both levels can still show a LOWER efficiency ratio — by using",
+        "the low level's cores better it leaves less host headroom to",
+        "grow into (the fused path is kernel-bound already at local[8];",
+        "the classic path wastes the low level on IPC and so has more",
+        "room to 'scale'). Compare absolute docs/sec first, ratios second.",
         "",
         "Decomposition reading: the three probe windows run back-to-back",
         "inside one level's subprocess, so their DIFFERENCES approximate",

@@ -92,3 +92,41 @@ def test_chunk_modes_match_fused_operators(spark, spans_dir):
         classic = sorted(map(tuple, op(raw).collect()))
         assert fused == classic, mode
         assert fused
+
+
+def test_balanced_groups_properties():
+    """Property test for the split planner: every file lands in exactly
+    one group, group count never exceeds the request, and first-fit-
+    decreasing keeps the max group load within (max_file + total/n) —
+    the classic FFD bound that keeps one giant file from serializing a
+    task while small files pile elsewhere."""
+    import os
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 10**9), min_size=1, max_size=40),
+        n=st.integers(1, 12),
+    )
+    def check(sizes, n):
+        with tempfile.TemporaryDirectory() as d:
+            files = []
+            for i, size in enumerate(sizes):
+                p = os.path.join(d, f"f{i}.parquet")
+                with open(p, "wb") as fh:
+                    fh.truncate(size)  # sparse: size without disk cost
+                files.append(p)
+            groups = _balanced_groups(files, n)
+            flat = [f for g in groups for f in g]
+            assert sorted(flat) == sorted(files)
+            assert len(groups) <= max(1, n)
+            loads = [
+                sum(sizes[int(os.path.basename(f)[1:-8])] for f in g)
+                for g in groups
+            ]
+            assert max(loads) <= max(sizes) + sum(sizes) / max(1, n)
+
+    check()
