@@ -81,6 +81,41 @@ def _cos_col(a, b):
     return _dot_col(a, b) / (F.sqrt(_dot_col(a, a)) * F.sqrt(_dot_col(b, b)))
 
 
+def _cos_pairs_udf():
+    """Arrow-vectorized cosine over (va, vb) pair columns, bit-identical
+    to the `aggregate(zip_with(...))` expression spec AND DuckDB's
+    `list_reduce` oracle: all three are sequential left folds over the
+    dimension axis in float64, so the numpy loop below accumulates each
+    row's sum in exactly the same IEEE order (`acc += va[:, i] * vb[:, i]`
+    is one fused multiply-add per row per step — NOT numpy's pairwise
+    `np.dot` summation, which would drift in the last ulp). Catalyst runs
+    HOF lambdas interpreted per element (measured: the verify join over
+    LSH candidates dominated the query); this does dim vectorized passes
+    across the whole batch instead."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_pairs(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
+        n, dim = A.shape
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for i in range(dim):  # sequential over dims = the fold order
+            x, y = A[:, i], B[:, i]
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos_pairs
+
+
 def _argmax_bucket(vec_col, cent_list, elem_type: str):
     """Per-row nearest-centroid id over a LITERAL centroid array — a pure
     projection: no crossJoin row inflation, no per-key window, no
@@ -344,7 +379,10 @@ def embedding_neardup_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(F.expr(_cos("va", "vb")), 6).alias("sim"),
+            # Arrow-vectorized, bit-identical to the _cos expression spec
+            # (sequential fold — see _cos_pairs_udf). The interpreted HOF
+            # form was the dominant cost of this query at sf0.1.
+            F.round(_cos_pairs_udf()("va", "vb"), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
