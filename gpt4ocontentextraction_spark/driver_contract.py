@@ -81,18 +81,36 @@ def q_extract_spans(spark, sf_dir):
 
 
 def _pyscan_spans_dir(spark, sf_dir) -> str:
-    """Materialize spanify(documents) to parquet once per sf_dir — the
-    fused source's contract is a parquet directory, mirroring how a real
-    deployment scans an ingested spans table."""
+    """Materialize spanify(documents) to parquet once per input state —
+    the fused source's contract is a parquet directory, mirroring how a
+    real deployment scans an ingested spans table.
+
+    The cache key fingerprints the INPUT (documents.parquet mtime+size)
+    and the SPEC (SPANIFY_SQL text), so regenerating testdata or editing
+    spanify invalidates the cache instead of silently serving stale
+    spans. The build is race-safe: a writer builds into a unique temp
+    dir and renames it into place; the loser of the rename just uses the
+    winner's cache."""
     import hashlib
     import tempfile
+    import uuid
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{SPANIFY_SQL}".encode()
+    ).hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(), f"pyscan_gate_{key}", "spans")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        spanify(_docs(spark, sf_dir)).repartition(8).write.mode(
-            "overwrite"
-        ).parquet(cache)
+        build = f"{cache}.build-{uuid.uuid4().hex}"
+        spanify(_docs(spark, sf_dir)).repartition(8).write.parquet(build)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        try:
+            os.rename(build, cache)
+        except OSError:  # another process won the rename
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
     return cache
 
 

@@ -211,33 +211,52 @@ def _minhash_encode_udf():
         bounds = np.flatnonzero(np.r_[True, sh_docs[1:] != sh_docs[:-1]])
         return sh_vals, bounds, n
 
+    def _isnull(t) -> bool:
+        return t is None or t != t  # None or NaN
+
     @pandas_udf("array<string>")
     def band_keys(texts):
         # band path never materializes the shingle arrays — only 8 short
         # key strings per doc cross the Arrow boundary
         if len(texts) == 0:
             return pd.Series([], dtype=object)
-        sh_vals, bounds, n = _shingle_core(texts)
-        mh = np.empty((n, len(seeds_a)), dtype=np.int64)
-        for s_i in range(len(seeds_a)):
-            hv = (seeds_a[s_i] * sh_vals + seeds_b[s_i]) % MOD
-            mh[:, s_i] = np.minimum.reduceat(hv, bounds)
-        return pd.Series(
-            [
-                [
+        # NULL text parity with the expression spec (ANSI mode): the
+        # array(split(...)) trick makes sh = [NULL] (a one-element array
+        # holding null), array_min over it is null, so every minhash
+        # coalesces to the MOD sentinel and the band keys are "b_MOD_MOD"
+        # — null docs pair with each other and verify at jaccard 1.0
+        # (array_intersect([null],[null]) = [null]).
+        tl = texts.tolist()
+        null_bands = [f"{b_}_{MOD}_{MOD}" for b_ in range(N_BANDS)]
+        valid_idx = [i for i, t in enumerate(tl) if not _isnull(t)]
+        out = [null_bands] * len(tl)
+        if valid_idx:
+            sh_vals, bounds, n = _shingle_core([tl[i] for i in valid_idx])
+            mh = np.empty((n, len(seeds_a)), dtype=np.int64)
+            for s_i in range(len(seeds_a)):
+                hv = (seeds_a[s_i] * sh_vals + seeds_b[s_i]) % MOD
+                mh[:, s_i] = np.minimum.reduceat(hv, bounds)
+            for i, row in zip(valid_idx, mh.tolist()):
+                out[i] = [
                     f"{b_}_{row[b_ * ROWS_PER_BAND]}_{row[b_ * ROWS_PER_BAND + 1]}"
                     for b_ in range(N_BANDS)
                 ]
-                for row in mh.tolist()
-            ]
-        )
+        return pd.Series(out)
 
     @pandas_udf("array<long>")
     def shingle_hashes(texts):
         if len(texts) == 0:
             return pd.Series([], dtype=object)
-        sh_vals, bounds, _n = _shingle_core(texts)
-        return pd.Series(np.split(sh_vals, bounds[1:]))
+        tl = texts.tolist()
+        # NULL text -> sh = [NULL], matching the expression spec's
+        # element_at(transform(array(split(text, ' ')), ...), 1) shape
+        out = [[None]] * len(tl)
+        valid_idx = [i for i, t in enumerate(tl) if not _isnull(t)]
+        if valid_idx:
+            sh_vals, bounds, _n = _shingle_core([tl[i] for i in valid_idx])
+            for i, arr in zip(valid_idx, np.split(sh_vals, bounds[1:])):
+                out[i] = arr
+        return pd.Series(out)
 
     return band_keys, shingle_hashes
 

@@ -129,6 +129,15 @@ def extract_exploded(flat: pd.DataFrame) -> pd.DataFrame:
     if len(flat) == 0:
         return _empty_out()
 
+    # Null string fields normalize to "" at ingress — the same contract
+    # the Arrow wrapper enforces via fill_null (extract.py::_flatten), so
+    # a directly-invoked kernel can't crash on NaN in the density stats
+    # (str.count on NaN -> NaN -> astype(int64) raises) or diverge from
+    # the Spark path.
+    for col in ("kind", "text", "media_ref"):
+        if flat[col].isna().any():
+            flat = flat.assign(**{col: flat[col].fillna("")})
+
     doc_idx = flat["doc_idx"].to_numpy()
     offset = flat["offset"].to_numpy()
     kind = flat["kind"].to_numpy()

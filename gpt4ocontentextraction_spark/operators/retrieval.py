@@ -165,11 +165,17 @@ def ivf_topk(spark, sf_dir, query_id: int = 0, k: int = 5) -> DataFrame:
     ]
     bucket = _argmax_bucket(F.col("embedding"), cent_list, "float")
     # the query's bucket + vector, via the SAME expression on one row
-    qrow = (
+    qrows = (
         emb.filter(F.col("vec_id") == query_id)
         .select(bucket.alias("qbucket"), "embedding")
-        .collect()[0]
+        .collect()
     )
+    if not qrows:
+        # unknown query_id: empty result, like the join-based form had
+        return spark.createDataFrame(
+            [], "vec_id long, bucket long, sim double"
+        )
+    qrow = qrows[0]
     qv = F.array(*[F.lit(float(x)) for x in qrow["embedding"]]).cast(
         "array<float>"
     )
@@ -463,10 +469,13 @@ def ivf_kmeans_topk(
         # empty-cluster reseed: keep the previous centroid
         cent_list = [(cid, new.get(cid, cv)) for cid, cv in cent_list]
     bucket = _argmax_bucket(F.col("v"), cent_list, "double")
-    qv_list = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == query_id).collect()[0]["v"]
-    ]
+    qv_rows = emb.filter(F.col("vec_id") == query_id).collect()
+    if not qv_rows:
+        # unknown query_id: empty result instead of a driver IndexError
+        return spark.createDataFrame(
+            [], "vec_id long, bucket long, sim double"
+        )
+    qv_list = [float(x) for x in qv_rows[0]["v"]]
 
     def _pycos(a, b):  # sequential fold, mirrors _dot/_dot_col exactly
         def dot(p, q):
@@ -767,6 +776,20 @@ ORDER BY sim DESC, c.doc_id ASC LIMIT 3
 HYBRID_N_CAND = 1000
 
 
+def _sql_round6(x: float) -> float:
+    """Spark's round(double, 6): BigDecimal.valueOf(x) (the SHORTEST
+    decimal representation) quantized HALF_UP — NOT Python's round(),
+    which rounds the true binary value half-to-even and disagrees on
+    values whose shortest repr ends in 5 at the 7th decimal (e.g.
+    round(2.675, 2): Spark 2.68, Python 2.67). The driver-side rrf of a
+    resolved one-list doc must round exactly like every other rrf in the
+    ranking (and like the oracle), or a resolved doc can land one ulp off
+    the fused order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def _prefix_ranked(scored: DataFrame, score_col: str, rank_col: str, n: int) -> DataFrame:
     """Exact global top-n of (score desc, doc_id asc) with each row's
     GLOBAL rank. The cut is ``orderBy(...).limit(n)`` — Spark plans it as
@@ -910,7 +933,7 @@ def hybrid_rrf_topk(
         rb, rc = (
             (p["r_known"], r_miss) if p["missing"] == "cos" else (r_miss, p["r_known"])
         )
-        rrf = round(1.0 / (RRF_K + float(rb)) + 1.0 / (RRF_K + float(rc)), 6)
+        rrf = _sql_round6(1.0 / (RRF_K + float(rb)) + 1.0 / (RRF_K + float(rc)))
         resolved_rows.append((p["doc_id"], rb, rc, rrf))
         merged.append((rrf, -p["doc_id"], None))
         merged.sort(reverse=True)

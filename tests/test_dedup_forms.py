@@ -45,3 +45,33 @@ def test_minhash_vectorized_equals_expr_spec(spark):
     a = sorted(tuple(r) for r in minhash_lsh_pairs(docs).collect())
     b = sorted(tuple(r) for r in minhash_lsh_pairs_expr(docs).collect())
     assert a and a == b
+
+
+def test_minhash_null_text_parity_with_expr_spec(spark):
+    """NULL document text must flow through the vectorized encoder with
+    the expression spec's semantics, not crash the pandas UDF. The spec
+    (ANSI): sh = [NULL], minhashes coalesce to the MOD sentinel, so null
+    docs pair with EACH OTHER at jaccard 1.0 (array_intersect of [null]
+    with [null]) but never with real docs."""
+    from gpt4ocontentextraction_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "the quick brown fox jumps over the dog"),
+            (3, None),
+            (4, None),
+            (5, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in minhash_lsh_pairs(docs).collect())
+    b = sorted(tuple(r) for r in minhash_lsh_pairs_expr(docs).collect())
+    assert a == b
+    assert (3, 4, 1.0) in a  # null docs are mutual duplicates
+    assert not any(  # ...but never pair with real docs
+        (3 in p[:2] or 4 in p[:2]) and (1 in p[:2] or 5 in p[:2]) for p in a
+    )

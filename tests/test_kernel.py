@@ -223,3 +223,29 @@ def test_density_stats_exclude_link_dense_and_blank_blocks():
         ]
     )
     assert [g["text"] for g in got] == [_words(4, "a"), _words(4, "b")]
+
+
+def test_null_text_normalizes_like_arrow_wrapper():
+    """A directly-invoked kernel must treat NaN/None string fields as ""
+    (the contract extract.py::_flatten enforces via fill_null), not crash
+    in the density stats."""
+    import pandas as pd
+
+    from gpt4ocontentextraction_spark.operators.extract_kernel import (
+        extract_exploded,
+    )
+
+    flat = pd.DataFrame(
+        {
+            "doc_idx": [0, 0, 0],
+            "kind": ["text", "text", None],
+            "text": ["real words here now", None, "more words arrive"],
+            "media_ref": [None, "", ""],
+            "offset": [0, 1, 2],
+        }
+    )
+    out = extract_exploded(flat)
+    ref = extract_exploded(flat.fillna(""))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), ref.reset_index(drop=True)
+    )
