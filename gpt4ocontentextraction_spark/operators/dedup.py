@@ -258,18 +258,54 @@ def _minhash_encode_udf():
                 out[i] = arr
         return pd.Series(out)
 
-    return band_keys, shingle_hashes
+    @pandas_udf("bands array<string>, sh array<long>")
+    def encode(texts):
+        """Both outputs from ONE _shingle_core pass — the separate UDFs
+        above each re-ran the factorize+polyhash encoder over the same
+        corpus (and the verify joins consume the relation four times), so
+        minhash_lsh_pairs persists one combined encoding instead."""
+        import pandas as pd_  # worker-side
+
+        if len(texts) == 0:
+            return pd_.DataFrame({"bands": [], "sh": []})
+        tl = texts.tolist()
+        null_bands = [f"{b_}_{MOD}_{MOD}" for b_ in range(N_BANDS)]
+        bands_out = [null_bands] * len(tl)
+        sh_out = [[None]] * len(tl)
+        valid_idx = [i for i, t in enumerate(tl) if not _isnull(t)]
+        if valid_idx:
+            sh_vals, bounds, n = _shingle_core([tl[i] for i in valid_idx])
+            mh = np.empty((n, len(seeds_a)), dtype=np.int64)
+            for s_i in range(len(seeds_a)):
+                hv = (seeds_a[s_i] * sh_vals + seeds_b[s_i]) % MOD
+                mh[:, s_i] = np.minimum.reduceat(hv, bounds)
+            sh_split = np.split(sh_vals, bounds[1:])
+            for j, i in enumerate(valid_idx):
+                row = mh[j].tolist()
+                bands_out[i] = [
+                    f"{b_}_{row[b_ * ROWS_PER_BAND]}_{row[b_ * ROWS_PER_BAND + 1]}"
+                    for b_ in range(N_BANDS)
+                ]
+                sh_out[i] = sh_split[j]
+        return pd_.DataFrame({"bands": bands_out, "sh": sh_out})
+
+    return band_keys, shingle_hashes, encode
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Production MinHash+LSH near-dup: banded candidates from the
-    vectorized encoder, exact-Jaccard verify on candidates only."""
+    vectorized encoder, exact-Jaccard verify on candidates only.
+
+    The encoding (shingle hashes + band keys, one numpy pass) is
+    PERSISTED: the band self-join reads it twice and the verify joins
+    twice more, so without materialization the encoder would run 4x over
+    the corpus. At cluster scale this is the signature TABLE a real
+    dedup pipeline writes once and joins against."""
     corpus = _variant_corpus(docs)
-    band_keys, shingle_hashes = _minhash_encode_udf()
-    base = corpus.select("doc_id", shingle_hashes("text").alias("sh"))
-    bands = corpus.select(
-        "doc_id", F.explode(band_keys("text")).alias("band_key")
-    )
+    _, _, encode = _minhash_encode_udf()
+    enc = corpus.select("doc_id", encode("text").alias("e")).persist()
+    base = enc.select("doc_id", F.col("e.sh").alias("sh"))
+    bands = enc.select("doc_id", F.explode("e.bands").alias("band_key"))
     return _minhash_verify(bands, base)
 
 
