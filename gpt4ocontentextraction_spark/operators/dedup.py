@@ -508,8 +508,12 @@ def simhash_pairs_banded(
 # guarantee (BANDS > max_dist => recall=1 at hamming <= 3), but 65536-value
 # bands keep candidate counts ~n^2/65536 per band instead of n^2/256 — the
 # difference between a tiny verify set and quadratic doom at 10^8+ docs.
-# The extra 32 bits come from a second, independent polyhash fold
-# (multiplier 37) so all 64 vote bits are distinct functions of the word.
+# The extra bits come from a second, independent polyhash fold
+# (multiplier 37); since both folds are 31-bit values (mod 2^31-1), the
+# two remaining slots (fingerprint bits 31 and 63) take bits of a third
+# (h1*31 + h2) mod (2^31-1) mix hash so ALL 64 vote bits really vary
+# (see _simhash64_bit_expr — without this, two bands would have 2^15
+# effective values and double their candidate collisions).
 # ---------------------------------------------------------------------------
 
 SIMHASH64_BANDS = 4
@@ -517,11 +521,32 @@ SIMHASH64_BAND_BITS = 16
 _MIN_LONG = -(1 << 63)
 
 
+def _simhash64_bit_expr(j: int) -> str:
+    """Per-word vote bit j as a Spark SQL predicate over (h1, h2).
+
+    h1/h2 are 31-bit polyhashes (mod 2^31-1), so their bit 31 is
+    CONSTANT ZERO — mapping j=31 / j=63 to those positions would leave
+    two dead fingerprint bits and halve two bands' key spaces (2^15
+    effective values -> 2x the candidate collisions). Those two slots
+    instead take bits 0/1 of a third mix hash (h1*31 + h2) mod (2^31-1)
+    — a nonlinear-mod-prime combine, the same construction as the word
+    hashes themselves, mirrored verbatim in the DuckDB oracle."""
+    if j < 31:
+        return f"(shiftright(h1, {j}) & 1) = 1"
+    if j == 31:
+        return "(((h1 * 31 + h2) % 2147483647) & 1) = 1"
+    if j < 63:
+        return f"(shiftright(h2, {j - 32}) & 1) = 1"
+    return "((shiftright((h1 * 31 + h2) % 2147483647, 1)) & 1) = 1"
+
+
 def simhash64_fingerprints(docs: DataFrame) -> DataFrame:
     """64-bit relational simhash: explode words, hash twice (31- and
-    37-multiplier polyhash), ONE codegen'd aggregation with 64 per-bit
-    vote sums, reassemble. Bit 63's contribution is the two's-complement
-    -2^63 so the fingerprint stays a plain BIGINT on both engines."""
+    37-multiplier polyhash) plus a mix hash for the two slots the 31-bit
+    hashes cannot fill (_simhash64_bit_expr), ONE codegen'd aggregation
+    with 64 per-bit vote sums, reassemble. Bit 63's contribution is the
+    two's-complement -2^63 so the fingerprint stays a plain BIGINT on
+    both engines."""
     from ..functions.hashing import spark_polyhash, spark_polyhash37
 
     words = docs.select(
@@ -535,14 +560,7 @@ def simhash64_fingerprints(docs: DataFrame) -> DataFrame:
     )
     votes = [
         F.sum(
-            F.when(
-                F.expr(
-                    f"(shiftright(h1, {j}) & 1) = 1"
-                    if j < 32
-                    else f"(shiftright(h2, {j - 32}) & 1) = 1"
-                ),
-                1,
-            ).otherwise(-1)
+            F.when(F.expr(_simhash64_bit_expr(j)), 1).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(64)
     ]
@@ -687,9 +705,14 @@ whash64 AS (
   FROM words64
 ),
 bits64 AS (
+  -- j=31 / j=63 take bits 0/1 of the (h1*31 + h2) mod (2^31-1) mix hash:
+  -- h1/h2 are 31-bit values, so their own bit 31 is constant zero
+  -- (mirrors _simhash64_bit_expr exactly)
   SELECT doc_id, j,
-         SUM(CASE WHEN (CASE WHEN j < 32 THEN (h1 >> j) & 1
-                             ELSE (h2 >> (j - 32)) & 1 END) = 1
+         SUM(CASE WHEN (CASE WHEN j < 31 THEN (h1 >> j) & 1
+                             WHEN j = 31 THEN ((h1 * 31 + h2) % 2147483647) & 1
+                             WHEN j < 63 THEN (h2 >> (j - 32)) & 1
+                             ELSE (((h1 * 31 + h2) % 2147483647) >> 1) & 1 END) = 1
                   THEN 1 ELSE -1 END) AS s
   FROM whash64, (SELECT UNNEST(range(64)) AS j)
   GROUP BY doc_id, j

@@ -75,3 +75,18 @@ def test_minhash_null_text_parity_with_expr_spec(spark):
     assert not any(  # ...but never pair with real docs
         (3 in p[:2] or 4 in p[:2]) and (1 in p[:2] or 5 in p[:2]) for p in a
     )
+
+
+def test_simhash64_all_bits_vary(spark):
+    """Fingerprint bits 31 and 63 must be real functions of the text:
+    both word polyhashes are 31-bit values, so without the mix hash
+    (_simhash64_bit_expr) those two positions are constant zero and two
+    of the four 16-bit bands silently halve their key space."""
+    from gpt4ocontentextraction_spark.operators.dedup import (
+        simhash64_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = [r["simhash64"] for r in simhash64_fingerprints(docs).collect()]
+    for j in (31, 63):
+        assert {(fp >> j) & 1 for fp in fps} == {0, 1}, f"bit {j} is dead"
