@@ -653,6 +653,12 @@ def main() -> None:
         "scaling": scaling,
     }
     write_baseline_md(payload)
+    # append-only run history: BASELINE.md is overwritten per run, so a
+    # noisy-window run would otherwise erase quiet-window evidence — the
+    # per_round_start_load field says which is which.
+    hist = os.path.join(_REPO, "BENCH", "RUNS.jsonl")
+    with open(hist, "a") as f:
+        f.write(json.dumps({k: v for k, v in payload.items() if k != "queries"}) + "\n")
     print(json.dumps(payload))
 
 
