@@ -844,14 +844,24 @@ def hybrid_rrf_topk(
     Driver-side work is bounded by n_cand (corpus-size-independent),
     like the k-means centroid materialization."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bm = _bm25_scores(docs)
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("qv")
     )
-    cos = emb.crossJoin(F.broadcast(q)).select(
-        F.col("vec_id").cast("long").alias("doc_id"),
-        F.expr(_cos("embedding", "qv")).alias("sim"),
+    # both scored relations are consumed several times (two prefix cuts,
+    # the one-sided anti-joins, and the order-statistic resolution);
+    # without persist every reference re-evaluates the scoring — for
+    # BM25 that is the interpreted tf-count lambdas over every document,
+    # measured as the dominant cost of this query. Production analog:
+    # the score tables a retrieval system materializes per query.
+    bm = _bm25_scores(docs).persist()
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            F.expr(_cos("embedding", "qv")).alias("sim"),
+        )
+        .persist()
     )
 
     def rrf_expr(rb: str, rc: str) -> str:
@@ -907,36 +917,65 @@ def hybrid_rrf_topk(
     if not partial:
         return known_top
 
-    # resolve missing ranks exactly, best upper bound first, stop when the
-    # next upper bound cannot beat the current k-th fused score
-    merged = [(r["rrf"], -r["doc_id"], r) for r in head]
-    merged.sort(reverse=True)
+    # resolve ALL surviving upper-bound docs' missing ranks in ONE
+    # distributed order-statistic pass per side (the per-doc loop this
+    # replaces ran 2 driver jobs per doc — fetch score, count better).
+    # For each needy doc the broadcast theta-join counts rows scoring
+    # strictly better on that side; rank = count + 1. A doc ABSENT from
+    # the other FULL list (e.g. a cosine candidate whose text shares no
+    # term with the query, so it has no BM25 row at all) simply never
+    # joins and is excluded — the RRF spec is an INNER join of the two
+    # full rankings (HYBRID_RRF_SQL), not ranked-last; sf0.1 hits this.
+    # Resolving every ub-survivor (instead of early-stopping) costs a
+    # bounded extra aggregate but keeps the job count CONSTANT.
+    def _resolve(side: DataFrame, needs: list) -> dict[int, int]:
+        """{doc_id: exact rank in side's full (sim desc, doc_id asc)
+        ranking} for the needy docs present in side. Two jobs total:
+        fetch the needy docs' scores, then one theta-join aggregate."""
+        if not needs:
+            return {}
+        ids = spark.createDataFrame(
+            [(int(p["doc_id"]),) for p in needs], "d long"
+        )
+        scores = (
+            side.withColumnRenamed("doc_id", "d")
+            .join(F.broadcast(ids), "d")
+            .select("d", F.col("sim").alias("s"))
+            .collect()
+        )  # docs absent from this side drop out here (spec: inner join)
+        if not scores:
+            return {}
+        need_lit = spark.createDataFrame(
+            [(r["d"], r["s"]) for r in scores], "d long, s double"
+        )
+        better = {
+            r["d"]: r["n_better"]
+            for r in side.join(
+                F.broadcast(need_lit),
+                (F.col("sim") > F.col("s"))
+                | ((F.col("sim") == F.col("s")) & (F.col("doc_id") < F.col("d"))),
+            )
+            .groupBy("d")
+            .agg(F.count("*").alias("n_better"))
+            .collect()
+        }
+        return {r["d"]: int(better.get(r["d"], 0)) + 1 for r in scores}
+
+    bm_sim = bm.withColumnRenamed("bm25", "sim")
+    r_cos_miss = _resolve(cos, [p for p in partial if p["missing"] == "cos"])
+    r_bm_miss = _resolve(bm_sim, [p for p in partial if p["missing"] == "bm25"])
     resolved_rows = []
-    for p in sorted(partial, key=lambda r: (-r["ub"], r["doc_id"])):
-        if (p["ub"], -p["doc_id"]) <= merged[k - 1][:2]:
-            break
-        side = cos if p["missing"] == "cos" else bm.withColumnRenamed("bm25", "sim")
-        side_rows = side.filter(F.col("doc_id") == p["doc_id"]).collect()
-        if not side_rows:
-            # absent from the other FULL list (e.g. a cosine candidate
-            # whose text shares no term with the query, so it has no BM25
-            # row at all): the RRF spec is an INNER join of the two full
-            # rankings (HYBRID_RRF_SQL), so such docs are excluded, not
-            # ranked-last. sf0.1 hits this; sf0.01 never did.
-            continue
-        s = side_rows[0]["sim"]
-        n_better = side.filter(
-            (F.col("sim") > s)
-            | ((F.col("sim") == s) & (F.col("doc_id") < p["doc_id"]))
-        ).count()
-        r_miss = n_better + 1
+    for p in partial:
+        r_miss = (r_cos_miss if p["missing"] == "cos" else r_bm_miss).get(
+            p["doc_id"]
+        )
+        if r_miss is None:
+            continue  # absent from the other full list: excluded by spec
         rb, rc = (
             (p["r_known"], r_miss) if p["missing"] == "cos" else (r_miss, p["r_known"])
         )
         rrf = _sql_round6(1.0 / (RRF_K + float(rb)) + 1.0 / (RRF_K + float(rc)))
         resolved_rows.append((p["doc_id"], rb, rc, rrf))
-        merged.append((rrf, -p["doc_id"], None))
-        merged.sort(reverse=True)
     if not resolved_rows:
         return known_top
     extra = spark.createDataFrame(
