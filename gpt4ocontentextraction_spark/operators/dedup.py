@@ -466,7 +466,9 @@ def simhash_pairs_banded(
     Runs over the deterministic variant corpus (base docs + truncated
     variants) so true near-dup pairs exist at gate scale.
     """
-    fp = simhash_fingerprints(_variant_corpus(docs))
+    # the a/b self-join consumes fp twice; without persist the whole
+    # explode-words + 32-vote aggregation would evaluate twice
+    fp = simhash_fingerprints(_variant_corpus(docs)).persist()
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_expr = (
         f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> concat_ws('_',"
@@ -580,7 +582,9 @@ def simhash64_pairs_banded(
     band equality-join candidates, exact hamming verify. Pigeonhole:
     4 bands > max_dist=3 => recall=1, proven by gate equality with the
     exact all-pairs oracle over the uncapped variant corpus."""
-    fp = simhash64_fingerprints(_variant_corpus(docs))
+    # self-joined twice below — persist, or the 64-vote aggregation
+    # (the expensive part) runs once per side
+    fp = simhash64_fingerprints(_variant_corpus(docs)).persist()
     mask = (1 << SIMHASH64_BAND_BITS) - 1
     band_expr = (
         f"transform(sequence(0, {SIMHASH64_BANDS - 1}), b -> concat_ws('_',"
