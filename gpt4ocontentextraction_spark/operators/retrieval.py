@@ -357,7 +357,9 @@ def embedding_neardup_lsh(
     `threshold` — quantify it with emb_lsh_candidate_recall() and size
     `bands`/`band_bits` to the similarity that must be caught (see
     EMB_LSH_RELIABLE_SIM for the default geometry's reliable level)."""
-    vecs = _variant_embeddings(_emb(spark, sf_dir))
+    # consumed three times (band keys + both verify sides) — persist, or
+    # the variant construction re-evaluates per reference
+    vecs = _variant_embeddings(_emb(spark, sf_dir)).persist()
     # Sign bits of the K projections. This is a dense matmul (n x D @
     # D x K) — the one shape Catalyst cannot express efficiently: lambda
     # folds run interpreted (~16 s on 4k vectors) and a 64-SUM relational
@@ -365,10 +367,12 @@ def embedding_neardup_lsh(
     # (~30 s). An Arrow-vectorized pandas UDF does the matmul in numpy
     # (milliseconds); signatures only GENERATE candidates — correctness
     # still rests on the exact-cosine verify against the oracle.
+    # self-joined a/b below — persist, or the sign-bit matmul UDF runs
+    # once per side
     keyed = vecs.select(
         "vec_id",
         F.explode(_band_keys_udf(bands, band_bits)("v")).alias("band_key"),
-    )
+    ).persist()
     a = keyed.select(F.col("vec_id").alias("id_a"), "band_key")
     b = keyed.select(F.col("vec_id").alias("id_b"), "band_key")
     cand = (
