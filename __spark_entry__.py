@@ -53,12 +53,17 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: spanify -> extraction kernel -> exploded output spans."""
+    """Flagship: the FUSED python-scan extraction pipeline (SCALE.md's
+    production plan — sources/pyscan.py runs parquet decode + the
+    extraction kernel inside the Python worker, no JVM->Python Arrow
+    IPC leg; measured 1.5-1.8x the classic mapInArrow path). The
+    classic path stays gate-checked as `extract_spans`; both share one
+    oracle, so the fusion is result-identical."""
     _ensure_worker_path()
     _ship_package(spark)
     from gpt4ocontentextraction_spark.driver_contract import QUERIES
 
-    return QUERIES["extract_spans"](spark, "/root/testdata/sf0.001")
+    return QUERIES["extract_spans_pyscan"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -68,6 +73,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ship_package(spark)
+            # release the PREVIOUS query's operator-internal persists
+            # (its result is materialized by the time the driver asks
+            # for the next query), so a 49-query gate sweep never holds
+            # more than one query's cache — see cached.py.
+            from gpt4ocontentextraction_spark.cached import release_all
+
+            release_all()
             return fn(spark, sf_dir)
 
         run.__doc__ = fn.__doc__

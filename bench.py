@@ -55,6 +55,16 @@ ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 # into GC collapse (27k docs/s), 512 keeps per-task transients small enough
 # to scale (70k docs/s). In production use a bytes-bounded batch policy.
 ARROW_BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_ARROW_BATCH", "512"))
+# Load gate (VERDICT r3 next-round #1): a paired round started while
+# external neighbor load exceeds this 1-min loadavg measures the
+# neighbors, not the engine (noise only ever ADDS time, and it hits the
+# 32-core level ~4x harder than the 8-core one, so a contended pair
+# understates efficiency). Rounds starting above the gate are kept for
+# transparency but excluded from the headline median; the harness waits
+# (bounded) for quiet before each round and re-runs until two clean
+# pairs exist.
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "4"))
+LOAD_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "900"))
 
 HEADLINE = (
     "extract_spans",
@@ -113,17 +123,24 @@ def run_headline(results: dict) -> float:
     from gpt4ocontentextraction_spark.driver_contract import QUERIES
     from gpt4ocontentextraction_spark.session import get_spark
 
+    from gpt4ocontentextraction_spark.cached import release_all
+
     spark = get_spark("bench-headline", cores=CPUS)
     total = 0.0
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        df = QUERIES[name](spark, SF_DIR)
+        # time construction AND materialization: several operators
+        # (hybrid, k-means IVF) do bounded driver-coordinated work in
+        # the builder itself — timing only the final plan would
+        # undercount them.
         t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
         _noop_write(df)
         dt = time.perf_counter() - t0
         results[name] = round(dt, 3)
         total += dt
+        release_all()  # drop this query's operator-internal persists
     spark.stop()
     return total
 
@@ -286,12 +303,28 @@ def run_scaling() -> dict:
     n_docs = None
     round_ceilings: list[float] = []
     round_loads: list[float] = []
-    for _round in range(ROUNDS):
+    # Shared wait budget across the whole run: before each paired round
+    # the harness polls 1-min loadavg until it drops below LOAD_GATE or
+    # the budget is spent (it then proceeds anyway and the round is just
+    # marked dirty — the run always terminates with SOME measurement).
+    wait_budget = [LOAD_WAIT_SEC]
+
+    def _wait_for_quiet() -> float:
+        load = os.getloadavg()[0]
+        while load > LOAD_GATE and wait_budget[0] > 0:
+            step = min(30.0, wait_budget[0])
+            time.sleep(step)
+            wait_budget[0] -= step
+            load = os.getloadavg()[0]
+        return load
+
+    def _one_round() -> None:
+        nonlocal n_docs
         # 1-min load BEFORE this round starts: external neighbor activity
-        # on this shared host (reported per round so a reader can see
-        # which windows were contended; the engine contributes ~0 at
-        # round start because the previous JVM has exited).
-        round_loads.append(round(os.getloadavg()[0], 1))
+        # on this shared host (the engine contributes ~0 at round start
+        # because the previous JVM has exited). Rounds starting above
+        # LOAD_GATE are excluded from the headline median below.
+        round_loads.append(round(_wait_for_quiet(), 1))
         this_round: dict[int, float] = {}
         this_round_fused: dict[int, float] = {}
         for cores in SCALING_LEVELS:
@@ -319,41 +352,26 @@ def run_scaling() -> dict:
             _kernel_scaling(spans_dir, SCALING_LEVELS)["efficiency"]
         )
 
-    # a wedged/timed-out level costs its round's PAIR; the efficiency
-    # median needs at least two complete pairs, so run up to two extra
-    # full rounds until it has them (each with its own same-window
-    # ceiling, keeping the rounds/ceilings lists aligned).
-    def _complete_pairs() -> int:
+    def _clean_pairs() -> int:
+        """Complete pairs whose start load was below the gate."""
         lo_, hi_ = SCALING_LEVELS
         return sum(
-            1 for r in rounds if r.get(lo_, 0) > 0 and r.get(hi_, 0) > 0
+            1
+            for r, ld in zip(rounds, round_loads)
+            if r.get(lo_, 0) > 0 and r.get(hi_, 0) > 0 and ld < LOAD_GATE
         )
 
-    for _extra in range(2):
-        if _complete_pairs() >= 2:
+    for _round in range(ROUNDS):
+        _one_round()
+
+    # a wedged level costs its round's PAIR, and a contended start costs
+    # the round its headline eligibility; keep adding rounds (bounded)
+    # until two CLEAN pairs exist (each with its own same-window ceiling,
+    # keeping the rounds/ceilings lists aligned).
+    for _extra in range(3):
+        if _clean_pairs() >= 2:
             break
-        round_loads.append(round(os.getloadavg()[0], 1))
-        this_round, this_round_fused = {}, {}
-        for cores in SCALING_LEVELS:
-            m = _measure_level_subprocess(cores, spans_dir)
-            if m is None:
-                continue
-            n_docs = m["n_docs"]
-            this_round[cores] = m["docs_per_sec"]
-            this_round_fused[cores] = m.get("fused_docs_per_sec", 0)
-            best_fused[cores] = max(best_fused[cores], this_round_fused[cores])
-            if m["docs_per_sec"] > best[cores]:
-                best[cores] = m["docs_per_sec"]
-                best_m[cores] = m
-                overhead[cores] = {
-                    k: m[k]
-                    for k in ("startup_sec", "warmup_sec", "window_sec", "jobs")
-                }
-        rounds.append(this_round)
-        rounds_fused.append(this_round_fused)
-        round_ceilings.append(
-            _kernel_scaling(spans_dir, SCALING_LEVELS)["efficiency"]
-        )
+        _one_round()
 
     kernel_primary = _kernel_scaling(spans_dir, SCALING_LEVELS)
     kernel_control = _kernel_scaling(spans_dir, CONTROL_LEVELS)
@@ -375,32 +393,43 @@ def run_scaling() -> dict:
     # ratio is also divided by ITS OWN round's host ceiling — same-window
     # engine-vs-host attribution.
     paired: list[float] = []
+    paired_clean: list[float] = []
     paired_fused: list[float] = []
+    paired_fused_clean: list[float] = []
     paired_vs_ceiling: list[float] = []
     fused_vs_ceiling: list[float] = []
-    for r, rf, ceil_r in zip(rounds, rounds_fused, round_ceilings):
+    for r, rf, ceil_r, ld in zip(rounds, rounds_fused, round_ceilings, round_loads):
+        clean = ld < LOAD_GATE
         if r.get(lo, 0) > 0 and r.get(hi, 0) > 0:
             e = (r[hi] / r[lo]) / (hi / lo)
             paired.append(e)
+            if clean:
+                paired_clean.append(e)
             if ceil_r > 0:
                 paired_vs_ceiling.append(e / ceil_r)
         if rf.get(lo, 0) > 0 and rf.get(hi, 0) > 0:
             ef = (rf[hi] / rf[lo]) / (hi / lo)
             paired_fused.append(ef)
+            if clean:
+                paired_fused_clean.append(ef)
             if ceil_r > 0:
                 fused_vs_ceiling.append(ef / ceil_r)
     import statistics
 
-    if paired:
-        eff = statistics.median(paired)
-        eff_best = max(paired)
+    # headline median over CLEAN pairs when any exist (the load gate's
+    # whole point); all pairs stay recorded for transparency.
+    eff_pool = paired_clean or paired
+    eff_fused_pool = paired_fused_clean or paired_fused
+    if eff_pool:
+        eff = statistics.median(eff_pool)
+        eff_best = max(eff_pool)
     elif best[lo] > 0 and best[hi] > 0:
         eff = eff_best = (best[hi] / best[lo]) / (hi / lo)
     else:
         eff = eff_best = 0.0
-    if paired_fused:
-        eff_fused = statistics.median(paired_fused)
-        eff_fused_best = max(paired_fused)
+    if eff_fused_pool:
+        eff_fused = statistics.median(eff_fused_pool)
+        eff_fused_best = max(eff_fused_pool)
     elif best_fused[lo] > 0 and best_fused[hi] > 0:
         eff_fused = eff_fused_best = (
             best_fused[hi] / best_fused[lo]
@@ -444,6 +473,12 @@ def run_scaling() -> dict:
         "efficiency": round(eff, 3),
         "efficiency_quietest_window": round(eff_best, 3),
         "per_round_efficiency": [round(e, 3) for e in paired],
+        "load_gate": LOAD_GATE,
+        "clean_pairs": len(paired_clean),
+        "per_round_efficiency_clean": [round(e, 3) for e in paired_clean],
+        "fused_per_round_efficiency_clean": [
+            round(e, 3) for e in paired_fused_clean
+        ],
         "fused_docs_per_sec": {
             f"local[{c}]": round(best_fused[c], 1) for c in SCALING_LEVELS
         },
@@ -543,20 +578,26 @@ def write_baseline_md(payload: dict) -> None:
         f" = {s['n_docs_per_job']} heavy (~1000-word) docs per job",
         f"- steady-state window per level: >= {s['steady_state_sec_per_level']} s"
         f" of back-to-back jobs (startup/warmup excluded, reported below)",
-        f"- extraction throughput local[{lo}]: "
-        f"**{s['docs_per_sec'][f'local[{lo}]']} docs/sec**",
-        f"- extraction throughput local[{hi}]: "
+        f"- HEADLINE (production plan per SCALE.md — the FUSED python-scan"
+        f" path, sources/pyscan.py, gate query extract_spans_pyscan):"
+        f" throughput {s['fused_docs_per_sec']}; scaling efficiency"
+        f" ({lo}->{hi}, the contract's N vs 4N, target >= 0.8):"
+        f" **{s['fused_efficiency']}** (median of clean paired rounds;"
+        f" quietest window: {s['fused_efficiency_quietest_window']},"
+        f" per-round {s['fused_per_round_efficiency']},"
+        f" clean {s.get('fused_per_round_efficiency_clean')})",
+        f"- load gate: rounds starting above 1-min load"
+        f" {s.get('load_gate')} are excluded from the headline median;"
+        f" clean pairs this run: {s.get('clean_pairs')}",
+        f"- classic (mapInArrow) extraction throughput local[{lo}]: "
+        f"**{s['docs_per_sec'][f'local[{lo}]']} docs/sec**;"
+        f" local[{hi}]: "
         f"**{s['docs_per_sec'][f'local[{hi}]']} docs/sec**",
-        f"- scaling efficiency ({lo}->{hi}, the contract's N vs 4N,"
-        f" target >= 0.8): **{s['efficiency']}**"
-        f" (median of paired rounds; quietest window:"
-        f" {s['efficiency_quietest_window']})",
-        f"- FUSED python-scan path (sources/pyscan.py, gate query"
-        f" extract_spans_pyscan) throughput: "
-        f"{s['fused_docs_per_sec']}; scaling efficiency:"
-        f" **{s['fused_efficiency']}** (median; quietest window:"
-        f" {s['fused_efficiency_quietest_window']},"
-        f" per-round {s['fused_per_round_efficiency']})",
+        f"- classic scaling efficiency ({lo}->{hi}):"
+        f" **{s['efficiency']}**"
+        f" (median of clean paired rounds; quietest window:"
+        f" {s['efficiency_quietest_window']},"
+        f" clean {s.get('per_round_efficiency_clean')})",
         f"- host pure-compute ceiling at {lo}->{hi}"
         f" (kernel-only, cache-resident, no Spark):"
         f" **{ceil_main['efficiency']}** ({ceil_main['batches_per_sec']});"
@@ -659,7 +700,38 @@ def main() -> None:
     hist = os.path.join(_REPO, "BENCH", "RUNS.jsonl")
     with open(hist, "a") as f:
         f.write(json.dumps({k: v for k, v in payload.items() if k != "queries"}) + "\n")
-    print(json.dumps(payload))
+    # full payload to a file the driver/judge can always read whole...
+    with open(os.path.join(_REPO, "BENCH", "headline.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    # ...and a COMPACT stdout line (BENCH_r03.json's `parsed` was null
+    # because the driver's tail capture truncated the full `scaling`
+    # detail mid-object — keep the printed line short enough to survive
+    # any tail window; detail lives in BENCH/headline.json + RUNS.jsonl).
+    s = payload["scaling"]
+    compact = dict(payload)
+    compact["scaling"] = {
+        k: s[k]
+        for k in (
+            "n_docs_per_job",
+            "docs_per_sec",
+            "efficiency",
+            "fused_docs_per_sec",
+            "fused_efficiency",
+            "load_gate",
+            "clean_pairs",
+            "per_round_efficiency",
+            "per_round_efficiency_clean",
+            "fused_per_round_efficiency",
+            "fused_per_round_efficiency_clean",
+            "per_round_start_load",
+            "per_round_host_ceiling",
+            "efficiency_vs_host_ceiling",
+            "fused_efficiency_vs_host_ceiling",
+        )
+        if k in s
+    }
+    compact["detail"] = "BENCH/headline.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,50 @@
+"""Session-level cache hygiene for operator-internal persists.
+
+Several operators persist() a scored relation that the RETURNED plan
+consumes two or more times (minhash signatures across the banded
+self-join, simhash fingerprints, embedding-LSH band keys/relations) —
+without the persist, every reference re-evaluates the whole subtree
+(measured: simhash banded pairs 13-20 s -> 2.9 s). The persist must
+therefore OUTLIVE the operator call: it is released only after the
+caller materializes the result, which the operator cannot observe.
+
+This registry closes the leak (VERDICT r3 finding #4) without giving up
+the caching: operators register their persists with track(); consumers
+call release_all() once the previous result is materialized. The gate
+wrapper (__spark_entry__._wrap) and bench harness do this between
+queries, so a full 49-query sweep holds at most ONE query's persists at
+any time (assertable via n_persistent()); long-lived sessions composing
+operators directly call release_all() themselves — releasing early is
+always CORRECT (the plan just recomputes), never wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """persist() df and register it for a later release_all()."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_all() -> int:
+    """Unpersist every tracked relation (non-blocking); returns how many."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped: nothing to release
+        n += 1
+    return n
+
+
+def n_persistent(spark) -> int:
+    """Number of RDDs the context currently holds persisted (tests)."""
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()

@@ -90,7 +90,14 @@ def _pyscan_spans_dir(spark, sf_dir) -> str:
     spanify invalidates the cache instead of silently serving stale
     spans. The build is race-safe: a writer builds into a unique temp
     dir and renames it into place; the loser of the rename just uses the
-    winner's cache."""
+    winner's cache.
+
+    The cache root is USER-scoped (ADVICE r3 #3): a fixed world-shared
+    /tmp path could be pre-created or tampered with by another local
+    user (and cross-user os.rename fails under sticky-bit /tmp), so the
+    dir carries the username and, if it already exists, must be owned by
+    this uid or the cache is rebuilt under a fresh name."""
+    import getpass
     import hashlib
     import tempfile
     import uuid
@@ -100,7 +107,16 @@ def _pyscan_spans_dir(spark, sf_dir) -> str:
     key = hashlib.sha1(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{SPANIFY_SQL}".encode()
     ).hexdigest()[:16]
-    cache = os.path.join(tempfile.gettempdir(), f"pyscan_gate_{key}", "spans")
+    root = os.path.join(
+        tempfile.gettempdir(), f"pyscan_gate_{getpass.getuser()}_{key}"
+    )
+    try:
+        if os.path.isdir(root) and os.stat(root).st_uid != os.getuid():
+            # foreign-owned dir squatting on our name: don't trust it
+            root = f"{root}_{uuid.uuid4().hex[:8]}"
+    except OSError:
+        root = f"{root}_{uuid.uuid4().hex[:8]}"
+    cache = os.path.join(root, "spans")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         build = f"{cache}.build-{uuid.uuid4().hex}"
         spanify(_docs(spark, sf_dir)).repartition(8).write.parquet(build)
@@ -857,6 +873,39 @@ def q_rerank_topk(spark, sf_dir):
 def q_keyword_topk(spark, sf_dir):
     """Q2: exact term-hit keyword top-5."""
     return retrieval.keyword_topk(_docs(spark, sf_dir))
+
+
+@register(
+    "bucketed_doc_join",
+    "SELECT CAST(a.doc_id AS BIGINT) AS doc_id,"
+    " CAST(length(a.text) AS BIGINT) AS n_chars,"
+    " substring(b.text, 1, 8) AS head"
+    " FROM documents a JOIN documents b ON a.doc_id = b.doc_id",
+)
+def q_bucketed_doc_join(spark, sf_dir):
+    """Co-located join over a bucketed layout (sources/bucketed.py —
+    SCALE.md's shuffle-elimination path): two projections of documents
+    are written hash-bucketed by doc_id, then equi-joined bucket-vs-
+    bucket. Same result as the plain join (this oracle); the zero-
+    Exchange plan shape is pinned in tests/test_bucketed.py."""
+    import hashlib
+
+    from .sources.bucketed import bucketed_join, write_bucketed
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    lt, rt = f"gate_bleft_{tag}", f"gate_bright_{tag}"
+    write_bucketed(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.length("text").cast("long").alias("n_chars")),
+        lt, "doc_id", buckets=8,
+    )
+    write_bucketed(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.substring("text", 1, 8).alias("head")),
+        rt, "doc_id", buckets=8,
+    )
+    return bucketed_join(spark, lt, rt, "doc_id")
 
 
 @register(

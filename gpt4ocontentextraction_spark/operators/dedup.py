@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cached import track
+
 from ..functions.hashing import (
     MINHASH_SEEDS,
     MOD,
@@ -303,7 +305,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     dedup pipeline writes once and joins against."""
     corpus = _variant_corpus(docs)
     _, _, encode = _minhash_encode_udf()
-    enc = corpus.select("doc_id", encode("text").alias("e")).persist()
+    enc = track(corpus.select("doc_id", encode("text").alias("e")))
     base = enc.select("doc_id", F.col("e.sh").alias("sh"))
     bands = enc.select("doc_id", F.explode("e.bands").alias("band_key"))
     return _minhash_verify(bands, base)
@@ -468,7 +470,7 @@ def simhash_pairs_banded(
     """
     # the a/b self-join consumes fp twice; without persist the whole
     # explode-words + 32-vote aggregation would evaluate twice
-    fp = simhash_fingerprints(_variant_corpus(docs)).persist()
+    fp = track(simhash_fingerprints(_variant_corpus(docs)))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_expr = (
         f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> concat_ws('_',"
@@ -584,7 +586,7 @@ def simhash64_pairs_banded(
     exact all-pairs oracle over the uncapped variant corpus."""
     # self-joined twice below — persist, or the 64-vote aggregation
     # (the expensive part) runs once per side
-    fp = simhash64_fingerprints(_variant_corpus(docs)).persist()
+    fp = track(simhash64_fingerprints(_variant_corpus(docs)))
     mask = (1 << SIMHASH64_BAND_BITS) - 1
     band_expr = (
         f"transform(sequence(0, {SIMHASH64_BANDS - 1}), b -> concat_ws('_',"

@@ -5,9 +5,13 @@ model (docker/main.py:209-231). At 100 TB, media lives as opaque ``binary``
 columns with typed metadata beside the text spans; decode/feature/resize/
 frame-sample run as Arrow-batched pandas functions over ``mapInPandas``.
 
-The container has no image/audio libraries, so the byte-level payloads use
-a deterministic FAKE codec (documented below) and the pixel-level decode
-is STUBBED — but everything Spark-side is real and tested: the binary
+The container has no image/audio libraries, so synthetic payloads use a
+deterministic FAKE codec (documented below) for hermetic tests — but PNG
+(the reference's page-render format) decodes for REAL via the stdlib
+codec in functions/png.py (zlib inflate + scanline unfilter; no PIL):
+ingest/decode_features/resize operate on actual pixels for PNG blobs.
+Only non-PNG real codecs (JPEG/audio/video) remain stubbed in
+_decode_real. Everything Spark-side is real and tested: the binary
 column plumbing, schemas, batch shapes, UDF signatures, and the
 media_ref join from extracted `media` spans to this table (Q4 citation
 resolution, docker/main.py:825-847).
@@ -119,24 +123,23 @@ def ingest_media_dir(spark, path: str, recursive: bool = True) -> DataFrame:
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 blob = bytes(blob)
-                # truncated/foreign blobs route to the real decoder and
-                # NEVER fall through to the fake-codec unpack below: if
-                # _decode_real is ever implemented to return decoded
-                # data, its result must be appended here, not ignored.
-                if len(blob) < HEADER_SIZE:  # pragma: no cover
-                    _decode_real(blob)
-                    raise AssertionError(
-                        "_decode_real returned; route its result"
+                ref = os.path.splitext(os.path.basename(p))[0]
+                # non-FAKE blobs route to the real decoder and its
+                # result is ROWED (PNG decodes for real; other codecs
+                # raise NotImplementedError inside _decode_real)
+                if (
+                    len(blob) < HEADER_SIZE
+                    or struct.unpack_from(HEADER_FMT, blob, 0)[0] != MAGIC
+                ):
+                    dec = _decode_real(blob)
+                    rows.append(
+                        (ref, dec["kind"], dec["mime"], dec["width"],
+                         dec["height"], dec["n_frames"], blob)
                     )
-                magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
-                if magic != MAGIC:  # pragma: no cover
-                    _decode_real(blob)
-                    raise AssertionError(
-                        "_decode_real returned; route its result"
-                    )
+                    continue
+                _magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
                 frame_len = max(1, (w * h) // 64)
                 frames = max(1, (len(blob) - HEADER_SIZE) // frame_len)
-                ref = os.path.splitext(os.path.basename(p))[0]
                 kind = "video" if frames > 1 else "image"
                 rows.append(
                     (ref, kind, f"{kind}/fake", w, h, frames, blob)
@@ -155,9 +158,10 @@ def ingest_media_dir(spark, path: str, recursive: bool = True) -> DataFrame:
 
 
 def decode_features(media: DataFrame) -> DataFrame:
-    """Parse headers + payload statistics, Arrow-batched (mapInPandas).
-    Where a real image library would decode pixels, this raises through to
-    the deterministic fake-codec parse — see `_decode_real` stub."""
+    """Payload statistics, Arrow-batched (mapInPandas). FAKE-codec blobs
+    parse the synthetic header+payload; PNG blobs go through the REAL
+    stdlib decoder and their statistics are over actual decoded pixels
+    (so payload_len is the pixel count, not the compressed byte count)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,12 +169,26 @@ def decode_features(media: DataFrame) -> DataFrame:
             for ref, blob, frames in zip(
                 pdf["media_ref"], pdf["data"], pdf["n_frames"]
             ):
-                magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
-                if magic != MAGIC:  # pragma: no cover
-                    _decode_real(blob)
-                    raise AssertionError(
-                        "_decode_real returned; route its result"
+                blob = bytes(blob)
+                if (
+                    len(blob) < HEADER_SIZE
+                    or struct.unpack_from(HEADER_FMT, blob, 0)[0] != MAGIC
+                ):
+                    dec = _decode_real(blob)
+                    px = dec["pixels"]
+                    rows.append(
+                        (
+                            ref,
+                            dec["width"],
+                            dec["height"],
+                            int(dec["n_frames"]),
+                            int(px.size),
+                            float(px.mean()),
+                            int(px.astype(np.int64).sum()),
+                        )
                     )
+                    continue
+                _magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
                 payload = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_SIZE)
                 rows.append(
                     (
@@ -202,13 +220,28 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 
 def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
-    """Subsample payload to the new dimensions (fake-codec 'resize')."""
+    """Resize. PNG blobs get a REAL nearest-neighbor pixel resize
+    (decode -> index-map -> re-encode, all stdlib+numpy); fake-codec
+    blobs subsample their synthetic payload to the new dimensions."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png, nearest_resize
+
         for pdf in batches:
             out = []
             for blob in pdf["data"]:
-                magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
+                blob = bytes(blob)
+                if (
+                    len(blob) < HEADER_SIZE
+                    or struct.unpack_from(HEADER_FMT, blob, 0)[0] != MAGIC
+                ):
+                    dec = _decode_real(blob)
+                    out.append(
+                        encode_png(
+                            nearest_resize(dec["pixels"], new_width, new_height)
+                        )
+                    )
+                    continue
                 payload = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_SIZE)
                 n_new = max(1, (new_width * new_height) // 64)
                 idx = np.linspace(0, len(payload) - 1, n_new).astype(np.int64)
@@ -257,12 +290,34 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
-def _decode_real(blob: bytes):
-    """Real-codec decode would go here (PIL / libav are not in this
-    container). Clearly-marked stub per the build contract."""
+def _decode_real(blob: bytes) -> dict:
+    """Real-codec decode. PNG — the reference's central intermediate
+    (docker/main.py:209-227 rasterizes pages to PNG) — is decoded to
+    actual pixels with the stdlib codec (functions/png.py: zlib inflate
+    + Sub/Up/Average/Paeth unfilter; no PIL needed). Returns
+    {kind, mime, width, height, n_frames, pixels} where pixels is a
+    (H, W, C) uint8 array.
+
+    Other real codecs (JPEG, audio, video containers) genuinely need
+    libraries this container lacks and still raise NotImplementedError —
+    callers must ROUTE the returned dict when decode succeeds, not
+    assume this raises (the r3 ADVICE fall-through)."""
+    from ..functions.png import decode_png, is_png
+
+    if is_png(blob):
+        px = decode_png(blob)
+        h, w, _c = px.shape
+        return {
+            "kind": "image",
+            "mime": "image/png",
+            "width": int(w),
+            "height": int(h),
+            "n_frames": 1,
+            "pixels": px,
+        }
     raise NotImplementedError(
-        "real image/audio decoding requires PIL/libav, not present in this"
-        " environment; the fake-codec path covers the Spark plumbing"
+        "only PNG real-codec decode is implemented (stdlib zlib); JPEG/"
+        "audio/video need PIL/libav, not present in this environment"
     )
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cached import track
+
 TOP_K = 10
 IVF_K = 8  # coarse centroids
 KEYWORDS = ("table", "data", "merge")
@@ -116,6 +118,26 @@ def _cos_pairs_udf():
     return cos_pairs
 
 
+# Literal-inlining budget for IVF bucket assignment: the literal form
+# builds K x dim F.lit nodes into the expression tree, which is the
+# right zero-shuffle plan at gate K but plan-compile death at a
+# realistic coarse K (VERDICT r3 finding #3: K=4096 x 3072-dim = ~12M
+# literal nodes). Above the budget the assignment switches to a
+# broadcast-matrix numpy argmax (same semantics, still a pure
+# projection with zero Exchange).
+IVF_LITERAL_BUDGET = 100_000
+
+
+def _assign_bucket(vec_col, cent_list, elem_type: str, literal_budget: int = IVF_LITERAL_BUDGET):
+    """Nearest-centroid assignment, dispatched by plan size: literal
+    inlining (exact fold-cosine, oracle-gated) while K x dim fits the
+    literal budget, else the broadcast pandas-UDF argmax."""
+    n_lits = sum(len(cv) for _, cv in cent_list)
+    if n_lits <= literal_budget:
+        return _argmax_bucket(vec_col, cent_list, elem_type)
+    return _argmax_bucket_pandas(vec_col, cent_list)
+
+
 def _argmax_bucket(vec_col, cent_list, elem_type: str):
     """Per-row nearest-centroid id over a LITERAL centroid array — a pure
     projection: no crossJoin row inflation, no per-key window, no
@@ -147,6 +169,45 @@ def _argmax_bucket(vec_col, cent_list, elem_type: str):
     return -best["nid"]
 
 
+def _argmax_bucket_pandas(vec_col, cent_list):
+    """Large-K nearest-centroid assignment: one numpy matmul per Arrow
+    batch against a row-normalized centroid matrix shipped ONCE per
+    executor via a Spark broadcast (not per-task closure bytes — at a
+    realistic K=4096 x 3072-dim the float64 matrix is ~100 MB). Still a
+    pure projection: ArrowEvalPython in the plan, zero Exchange before
+    assignment, no row inflation.
+
+    Tie/parity note: centroid columns are ordered by ascending cid and
+    np.argmax takes the FIRST maximum, so exact ties break to the
+    smallest cid like the literal form. Matmul accumulates in a
+    different order than the literal form's sequential fold, so on
+    near-ties (< a few ulps) the two forms could disagree — which is why
+    the oracle-gated K stays on the literal form below the budget."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in cent_list], dtype=np.int64)
+    mat = np.array([cv for _, cv in cent_list], dtype=np.float64)
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    mat = mat[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-300)
+    bc = SparkSession.getActiveSession().sparkContext.broadcast((cids, mat))
+
+    @pandas_udf("long")
+    def assign(vs):
+        b_cids, b_mat = bc.value
+        v = np.array(vs.tolist(), dtype=np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        idx = np.argmax(vn @ b_mat.T, axis=1)
+        return pd.Series(b_cids[idx])
+
+    return assign(vec_col)
+
+
 def ivf_topk(spark, sf_dir, query_id: int = 0, k: int = 5) -> DataFrame:
     """IVF-bucketed ANN: nearest of the first IVF_K vectors = bucket;
     search only the query's bucket (the scale path: per-bucket locality,
@@ -163,7 +224,7 @@ def ivf_topk(spark, sf_dir, query_id: int = 0, k: int = 5) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .collect()
     ]
-    bucket = _argmax_bucket(F.col("embedding"), cent_list, "float")
+    bucket = _assign_bucket(F.col("embedding"), cent_list, "float")
     # the query's bucket + vector, via the SAME expression on one row
     qrows = (
         emb.filter(F.col("vec_id") == query_id)
@@ -359,7 +420,7 @@ def embedding_neardup_lsh(
     EMB_LSH_RELIABLE_SIM for the default geometry's reliable level)."""
     # consumed three times (band keys + both verify sides) — persist, or
     # the variant construction re-evaluates per reference
-    vecs = _variant_embeddings(_emb(spark, sf_dir)).persist()
+    vecs = track(_variant_embeddings(_emb(spark, sf_dir)))
     # Sign bits of the K projections. This is a dense matmul (n x D @
     # D x K) — the one shape Catalyst cannot express efficiently: lambda
     # folds run interpreted (~16 s on 4k vectors) and a 64-SUM relational
@@ -369,10 +430,12 @@ def embedding_neardup_lsh(
     # still rests on the exact-cosine verify against the oracle.
     # self-joined a/b below — persist, or the sign-bit matmul UDF runs
     # once per side
-    keyed = vecs.select(
-        "vec_id",
-        F.explode(_band_keys_udf(bands, band_bits)("v")).alias("band_key"),
-    ).persist()
+    keyed = track(
+        vecs.select(
+            "vec_id",
+            F.explode(_band_keys_udf(bands, band_bits)("v")).alias("band_key"),
+        )
+    )
     a = keyed.select(F.col("vec_id").alias("id_a"), "band_key")
     b = keyed.select(F.col("vec_id").alias("id_b"), "band_key")
     cand = (
@@ -452,7 +515,7 @@ def ivf_kmeans_topk(
         .collect()
     ]
     for _ in range(iters):
-        bucket = _argmax_bucket(F.col("v"), cent_list, "double")
+        bucket = _assign_bucket(F.col("v"), cent_list, "double")
         new_rows = (
             emb.select(bucket.alias("cid"), F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -472,7 +535,7 @@ def ivf_kmeans_topk(
         new = {r["cid"]: list(r["cv"]) for r in new_rows}
         # empty-cluster reseed: keep the previous centroid
         cent_list = [(cid, new.get(cid, cv)) for cid, cv in cent_list]
-    bucket = _argmax_bucket(F.col("v"), cent_list, "double")
+    bucket = _assign_bucket(F.col("v"), cent_list, "double")
     qv_rows = emb.filter(F.col("vec_id") == query_id).collect()
     if not qv_rows:
         # unknown query_id: empty result instead of a driver IndexError
@@ -511,21 +574,24 @@ def ivf_kmeans_topk(
 # Lloyd updates make the fitted centroids — hence the top-k — a pure
 # function of the input (partitioning-independence pinned in
 # tests/test_retrieval_ivf.py), so the result can be pinned as literal
-# rows per input table. Rows are keyed by a table fingerprint
-# (SUM(label * vec_id)) so the one oracle string is valid at every gate
-# SF it was generated for; an unknown table yields 0 rows (visible
-# mismatch, never a silent pass). Regenerate with
+# rows per input table. Rows are keyed by a table fingerprint that
+# depends on the embedding VALUES, not just the (label, vec_id)
+# columns — SUM(label*vec_id + vec_id*floor(embedding[1]*1e6)) — so
+# regenerated testdata with the same ids but different vectors cannot
+# silently select stale golden rows (ADVICE r3 #4); an unknown table
+# yields 0 rows (visible mismatch, never a silent pass). Regenerate
+# keys with the fp CTE in DuckDB and rows with
 # `ivf_kmeans_topk(spark, sf_dir).collect()` after any semantic change.
 _IVF_KMEANS_GOLD = {
     # fingerprint: rows (vec_id, bucket, sim) at default args
-    554319: [  # /root/testdata/sf0.001
+    -588173393: [  # /root/testdata/sf0.001
         (0, 0, 1.0),
         (17, 0, 0.334456),
         (225, 0, 0.315127),
         (12, 0, 0.311027),
         (483, 0, 0.300451),
     ],
-    566434: [  # /root/testdata/sf0.01
+    1084882709: [  # /root/testdata/sf0.01
         (0, 0, 1.0),
         (365, 0, 0.369994),
         (334, 7, 0.362722),
@@ -535,7 +601,8 @@ _IVF_KMEANS_GOLD = {
 }
 
 IVF_KMEANS_GOLD_SQL = (
-    "WITH fp AS (SELECT SUM(CAST(label AS BIGINT) * vec_id) AS c"
+    "WITH fp AS (SELECT SUM(CAST(label AS BIGINT) * vec_id"
+    " + vec_id * CAST(floor(embedding[1] * 1e6) AS BIGINT)) AS c"
     " FROM embeddings)\n"
     "SELECT CAST(vec_id AS BIGINT) AS vec_id,"
     " CAST(bucket AS BIGINT) AS bucket, CAST(sim AS DOUBLE) AS sim\n"
@@ -580,13 +647,28 @@ WHERE a.vec_id < 200 AND b.vec_id < 200
 
 
 def keyword_topk(docs: DataFrame, k: int = 5) -> DataFrame:
-    """Q2: exact term-hit scoring, top-k (docker/main.py:802-807 top=5)."""
-    arr = "array(" + ", ".join(f"'{w}'" for w in KEYWORDS) + ")"
-    score = F.expr(
-        f"size(filter(split(text, ' '), w -> array_contains({arr}, w)))"
-    ).cast("long")
+    """Q2: exact term-hit scoring, top-k (docker/main.py:802-807 top=5).
+
+    Score = total keyword hits = sum of the per-term tf counts from the
+    Arrow-vectorized BM25 counter — the same integers the spec form
+    ``size(filter(split(text,' '), w -> array_contains(KEYWORDS, w)))``
+    computes (KEYWORDS is duplicate-free, so per-term counts partition
+    the hits), without running Catalyst-interpreted lambdas per word
+    over the full corpus (VERDICT r3 finding #2). NULL text propagates:
+    all tf_i are null, so the sum is null — same as size/filter over a
+    null array under ANSI. The lambda form remains the spec in
+    KEYWORD_TOPK_SQL."""
+    tf = _bm25_tf_udf()
+    total = None
+    for i in range(len(KEYWORDS)):
+        c = F.col(f"c.tf{i}")
+        total = c if total is None else total + c
     return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), score.alias("score"))
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tf("text").alias("c"),
+        )
+        .select("doc_id", total.cast("long").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -875,7 +957,20 @@ def hybrid_rrf_topk(
       window, resolved in descending upper-bound order with early stop.
 
     Driver-side work is bounded by n_cand (corpus-size-independent),
-    like the k-means centroid materialization."""
+    like the k-means centroid materialization.
+
+    Rounding note: the final ordering uses round(rrf, 6), so the
+    absent-doc exclusion must hold on ROUNDED values too. Rounding is
+    monotone, so an absent doc's rounded rrf is <= round6(2/(61+n_cand))
+    while the k-th known score theta >= round6(2/(60+n_cand)) — the two
+    can collide only by EQUALITY, where the doc_id tiebreak could admit
+    an unenumerated doc. The loop therefore also doubles n_cand whenever
+    round6(2/(61+n_cand)) >= theta (theta is nondecreasing in n_cand and
+    the bound strictly decreases, so this terminates — at worst at full
+    enumeration). The returned relation is a driver-local bounded result
+    (<= k + |resolved| rows), so the persisted score tables can be
+    released before returning without the caller's materialization
+    re-running the scorers."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == query_id).select(
@@ -884,9 +979,12 @@ def hybrid_rrf_topk(
     # both scored relations are consumed several times (two prefix cuts,
     # the one-sided anti-joins, and the order-statistic resolution);
     # without persist every reference re-evaluates the scoring — for
-    # BM25 that is the interpreted tf-count lambdas over every document,
-    # measured as the dominant cost of this query. Production analog:
-    # the score tables a retrieval system materializes per query.
+    # BM25 that is the tf counting over every document, measured as the
+    # dominant cost of this query. Production analog: the score tables a
+    # retrieval system materializes per query. Persisted ONCE for the
+    # whole candidate-doubling loop and released in the finally block
+    # (VERDICT r3 finding #4: the old doubling recursion re-persisted
+    # fresh copies per retry and never unpersisted).
     bm = _bm25_scores(docs).persist()
     cos = (
         emb.crossJoin(F.broadcast(q))
@@ -903,122 +1001,150 @@ def hybrid_rrf_topk(
             f" + 1.0 / ({float(RRF_K)!r} + cast({rc} as double)), 6)"
         )
 
-    ranked_b = _prefix_ranked(bm, "bm25", "r_bm25", n_cand)
-    ranked_c = _prefix_ranked(cos, "sim", "r_cos", n_cand)
-    known = ranked_b.join(ranked_c, "doc_id").select(
-        "doc_id", "r_bm25", "r_cos", F.expr(rrf_expr("r_bm25", "r_cos")).alias("rrf")
-    )
-    known_top = known.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
-    head = known_top.collect()  # <= k rows
-    if len(head) < k:
-        # the doubling cap must cover BOTH lists: the cosine ranking is
-        # over embeddings, which can outnumber documents (extra vec_ids
-        # with no document row) — capping at docs.count() alone could
-        # leave the intersection short of k forever while the true
+    def _local(rows) -> DataFrame:
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), int(r["r_bm25"]), int(r["r_cos"]), float(r["rrf"]))
+             for r in rows],
+            "doc_id long, r_bm25 long, r_cos long, rrf double",
+        )
+
+    try:
+        n_univ = None  # lazily: max over BOTH lists — the cosine ranking
+        # is over embeddings, which can outnumber documents (extra
+        # vec_ids with no document row); capping at docs.count() alone
+        # could leave the intersection short of k forever while the true
         # inner-join answer has >= k rows.
-        n_univ = max(docs.count(), cos.count())
-        if n_cand < n_univ:
-            return hybrid_rrf_topk(
-                spark, sf_dir, k=k, query_id=query_id, n_cand=min(2 * n_cand, n_univ)
+        while True:
+            ranked_b = _prefix_ranked(bm, "bm25", "r_bm25", n_cand)
+            ranked_c = _prefix_ranked(cos, "sim", "r_cos", n_cand)
+            known = ranked_b.join(ranked_c, "doc_id").select(
+                "doc_id",
+                "r_bm25",
+                "r_cos",
+                F.expr(rrf_expr("r_bm25", "r_cos")).alias("rrf"),
             )
-        # universe smaller than k after full coverage: known IS the answer
-        return known_top
+            known_top = known.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+            head = known_top.collect()  # <= k rows
+            full = n_univ is not None and n_cand >= n_univ
+            if len(head) >= k:
+                theta0 = head[-1]["rrf"]  # k-th fused (rounded) score
+                absent_ub = _sql_round6(2.0 / (RRF_K + 1.0 + n_cand))
+                if absent_ub < theta0 or full:
+                    break  # rounded-tie guard satisfied (or everything
+                    # is enumerated and no doc is absent)
+            if n_univ is None:
+                n_univ = max(docs.count(), cos.count())
+                full = n_cand >= n_univ
+            if full:
+                # universe fully enumerated: known IS the answer (fewer
+                # than k rows means the universe is smaller than k)
+                return _local(head)
+            n_cand = min(2 * n_cand, n_univ)
 
-    # docs in exactly one list, with the exact known rank and the other
-    # side's score for potential order-statistic resolution
-    only_b = (
-        ranked_b.join(ranked_c.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", F.col("r_bm25").alias("r_known"), F.lit("cos").alias("missing"))
-    )
-    only_c = (
-        ranked_c.join(ranked_b.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", F.col("r_cos").alias("r_known"), F.lit("bm25").alias("missing"))
-    )
-    theta = (head[-1]["rrf"], -head[-1]["doc_id"])  # k-th fused score
-    partial = (
-        only_b.unionByName(only_c)
-        .withColumn(
-            "ub",
-            F.expr(
-                f"round(1.0 / ({float(RRF_K)!r} + cast(r_known as double))"
-                f" + 1.0 / ({float(RRF_K)!r} + {float(n_cand + 1)!r}), 6)"
-            ),
+        # docs in exactly one list, with the exact known rank and the
+        # other side's score for potential order-statistic resolution
+        only_b = (
+            ranked_b.join(ranked_c.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("r_bm25").alias("r_known"), F.lit("cos").alias("missing"))
         )
-        .filter(F.col("ub") >= F.lit(theta[0]))
-        .collect()
-    )  # bounded by 2 * n_cand; empty unless a one-list doc can reach top-k
-    if not partial:
-        return known_top
-
-    # resolve ALL surviving upper-bound docs' missing ranks in ONE
-    # distributed order-statistic pass per side (the per-doc loop this
-    # replaces ran 2 driver jobs per doc — fetch score, count better).
-    # For each needy doc the broadcast theta-join counts rows scoring
-    # strictly better on that side; rank = count + 1. A doc ABSENT from
-    # the other FULL list (e.g. a cosine candidate whose text shares no
-    # term with the query, so it has no BM25 row at all) simply never
-    # joins and is excluded — the RRF spec is an INNER join of the two
-    # full rankings (HYBRID_RRF_SQL), not ranked-last; sf0.1 hits this.
-    # Resolving every ub-survivor (instead of early-stopping) costs a
-    # bounded extra aggregate but keeps the job count CONSTANT.
-    def _resolve(side: DataFrame, needs: list) -> dict[int, int]:
-        """{doc_id: exact rank in side's full (sim desc, doc_id asc)
-        ranking} for the needy docs present in side. Two jobs total:
-        fetch the needy docs' scores, then one theta-join aggregate."""
-        if not needs:
-            return {}
-        ids = spark.createDataFrame(
-            [(int(p["doc_id"]),) for p in needs], "d long"
+        only_c = (
+            ranked_c.join(ranked_b.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("r_cos").alias("r_known"), F.lit("bm25").alias("missing"))
         )
-        scores = (
-            side.withColumnRenamed("doc_id", "d")
-            .join(F.broadcast(ids), "d")
-            .select("d", F.col("sim").alias("s"))
-            .collect()
-        )  # docs absent from this side drop out here (spec: inner join)
-        if not scores:
-            return {}
-        need_lit = spark.createDataFrame(
-            [(r["d"], r["s"]) for r in scores], "d long, s double"
-        )
-        better = {
-            r["d"]: r["n_better"]
-            for r in side.join(
-                F.broadcast(need_lit),
-                (F.col("sim") > F.col("s"))
-                | ((F.col("sim") == F.col("s")) & (F.col("doc_id") < F.col("d"))),
+        theta = (head[-1]["rrf"], -head[-1]["doc_id"])  # k-th fused score
+        partial = (
+            only_b.unionByName(only_c)
+            .withColumn(
+                "ub",
+                F.expr(
+                    f"round(1.0 / ({float(RRF_K)!r} + cast(r_known as double))"
+                    f" + 1.0 / ({float(RRF_K)!r} + {float(n_cand + 1)!r}), 6)"
+                ),
             )
-            .groupBy("d")
-            .agg(F.count("*").alias("n_better"))
+            .filter(F.col("ub") >= F.lit(theta[0]))
             .collect()
-        }
-        return {r["d"]: int(better.get(r["d"], 0)) + 1 for r in scores}
+        )  # bounded by 2 * n_cand; empty unless a one-list doc can reach top-k
+        if not partial:
+            return _local(head)
 
-    bm_sim = bm.withColumnRenamed("bm25", "sim")
-    r_cos_miss = _resolve(cos, [p for p in partial if p["missing"] == "cos"])
-    r_bm_miss = _resolve(bm_sim, [p for p in partial if p["missing"] == "bm25"])
-    resolved_rows = []
-    for p in partial:
-        r_miss = (r_cos_miss if p["missing"] == "cos" else r_bm_miss).get(
-            p["doc_id"]
-        )
-        if r_miss is None:
-            continue  # absent from the other full list: excluded by spec
-        rb, rc = (
-            (p["r_known"], r_miss) if p["missing"] == "cos" else (r_miss, p["r_known"])
-        )
-        rrf = _sql_round6(1.0 / (RRF_K + float(rb)) + 1.0 / (RRF_K + float(rc)))
-        resolved_rows.append((p["doc_id"], rb, rc, rrf))
-    if not resolved_rows:
-        return known_top
-    extra = spark.createDataFrame(
-        resolved_rows, "doc_id long, r_bm25 long, r_cos long, rrf double"
-    )
-    return (
-        known.unionByName(extra)
-        .orderBy(F.desc("rrf"), F.asc("doc_id"))
-        .limit(k)
-    )
+        # resolve ALL surviving upper-bound docs' missing ranks in ONE
+        # distributed order-statistic pass per side (the per-doc loop this
+        # replaces ran 2 driver jobs per doc — fetch score, count better).
+        # For each needy doc the broadcast theta-join counts rows scoring
+        # strictly better on that side; rank = count + 1. A doc ABSENT from
+        # the other FULL list (e.g. a cosine candidate whose text shares no
+        # term with the query, so it has no BM25 row at all) simply never
+        # joins and is excluded — the RRF spec is an INNER join of the two
+        # full rankings (HYBRID_RRF_SQL), not ranked-last; sf0.1 hits this.
+        # Resolving every ub-survivor (instead of early-stopping) costs a
+        # bounded extra aggregate but keeps the job count CONSTANT.
+        def _resolve(side: DataFrame, needs: list) -> dict[int, int]:
+            """{doc_id: exact rank in side's full (sim desc, doc_id asc)
+            ranking} for the needy docs present in side. Two jobs total:
+            fetch the needy docs' scores, then one theta-join aggregate."""
+            if not needs:
+                return {}
+            ids = spark.createDataFrame(
+                [(int(p["doc_id"]),) for p in needs], "d long"
+            )
+            scores = (
+                side.withColumnRenamed("doc_id", "d")
+                .join(F.broadcast(ids), "d")
+                .select("d", F.col("sim").alias("s"))
+                .collect()
+            )  # docs absent from this side drop out here (spec: inner join)
+            if not scores:
+                return {}
+            need_lit = spark.createDataFrame(
+                [(r["d"], r["s"]) for r in scores], "d long, s double"
+            )
+            better = {
+                r["d"]: r["n_better"]
+                for r in side.join(
+                    F.broadcast(need_lit),
+                    (F.col("sim") > F.col("s"))
+                    | ((F.col("sim") == F.col("s")) & (F.col("doc_id") < F.col("d"))),
+                )
+                .groupBy("d")
+                .agg(F.count("*").alias("n_better"))
+                .collect()
+            }
+            return {r["d"]: int(better.get(r["d"], 0)) + 1 for r in scores}
+
+        bm_sim = bm.withColumnRenamed("bm25", "sim")
+        r_cos_miss = _resolve(cos, [p for p in partial if p["missing"] == "cos"])
+        r_bm_miss = _resolve(bm_sim, [p for p in partial if p["missing"] == "bm25"])
+        resolved_rows = []
+        for p in partial:
+            r_miss = (r_cos_miss if p["missing"] == "cos" else r_bm_miss).get(
+                p["doc_id"]
+            )
+            if r_miss is None:
+                continue  # absent from the other full list: excluded by spec
+            rb, rc = (
+                (p["r_known"], r_miss) if p["missing"] == "cos" else (r_miss, p["r_known"])
+            )
+            rrf = _sql_round6(1.0 / (RRF_K + float(rb)) + 1.0 / (RRF_K + float(rc)))
+            resolved_rows.append(
+                {"doc_id": p["doc_id"], "r_bm25": rb, "r_cos": rc, "rrf": rrf}
+            )
+        if not resolved_rows:
+            return _local(head)
+        # exact driver-side fuse: the final top-k of (known UNION extra)
+        # is contained in (known's top-k UNION extra) — any known doc
+        # outside known_top already ranks below known_top's k-th row, and
+        # resolved docs can only push it further down. Both sets are in
+        # hand (<= k + |resolved| rows), so sort locally with the same
+        # (rrf desc, doc_id asc) order — all rrf values passed through
+        # the identical round-6 (_sql_round6 == Spark round == oracle).
+        fused = sorted(
+            list(head) + resolved_rows,
+            key=lambda r: (-r["rrf"], r["doc_id"]),
+        )[:k]
+        return _local(fused)
+    finally:
+        bm.unpersist(blocking=False)
+        cos.unpersist(blocking=False)
 
 
 HYBRID_RRF_SQL = f"""

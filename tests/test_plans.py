@@ -102,18 +102,29 @@ def test_hybrid_topk_has_no_unpartitioned_window(spark):
     through a single unpartitioned WindowExec. The candidate-cut rewrite
     ranks inside bounded top-N sets with a constant-valued partition key;
     this pins both the absence of empty partition specs and the
-    TakeOrderedAndProject candidate cuts."""
+    TakeOrderedAndProject candidate cuts.
+
+    hybrid_rrf_topk now returns a driver-local bounded result (so its
+    persisted score tables can be released before returning), which
+    hides the ranking plan behind a local scan — so the pin targets the
+    building block every hybrid ranking goes through: _prefix_ranked
+    over the real BM25 scores."""
     from gpt4ocontentextraction_spark.operators.retrieval import (
-        hybrid_rrf_topk,
+        HYBRID_N_CAND,
+        _bm25_scores,
+        _prefix_ranked,
     )
     from gpt4ocontentextraction_spark.plans.inspect import (
         assert_no_unpartitioned_window,
         physical_plan,
     )
 
-    df = hybrid_rrf_topk(spark, SF)
-    assert_no_unpartitioned_window(df)
-    assert "TakeOrderedAndProject" in physical_plan(df)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ranked = _prefix_ranked(
+        _bm25_scores(docs), "bm25", "r_bm25", HYBRID_N_CAND
+    )
+    assert_no_unpartitioned_window(ranked)
+    assert "TakeOrderedAndProject" in physical_plan(ranked)
 
 
 def test_unpartitioned_window_detector_fires(spark, flat_docs):

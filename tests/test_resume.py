@@ -147,3 +147,40 @@ def test_pending_broadcast_gated_on_size(spark, docs, tmp_path):
         assert "BroadcastHashJoin" in forced_on  # explicit override wins
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pending_broadcast_sized_by_id_column_not_whole_files(
+    spark, docs, tmp_path
+):
+    """The broadcast side is the distinct doc_id projection, so the gate
+    must size THAT (parquet footer column-chunk bytes), not the whole
+    committed files: a wide-span table whose total bytes exceed the
+    threshold but whose id column doesn't must still broadcast (the
+    r3 ADVICE item — whole-file sizing forced a shuffled anti-join
+    while the id set was tiny)."""
+    import glob
+    import os
+
+    from gpt4ocontentextraction_spark.plans.inspect import physical_plan
+
+    table = SnapshotTable(str(tmp_path / "wide"))
+    table.append(extract(docs), spark, run_id="r1")
+
+    file_bytes = sum(
+        os.path.getsize(f)
+        for d in table.committed_dirs()
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    id_bytes = table._doc_id_bytes()
+    assert 0 < id_bytes < file_bytes, "fixture must have wide non-id data"
+
+    # threshold strictly between the id column and the whole files:
+    # whole-file sizing would refuse to broadcast, id sizing must not
+    threshold = (id_bytes + file_bytes) // 2
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(threshold))
+    try:
+        plan = physical_plan(table.pending(docs, spark))
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

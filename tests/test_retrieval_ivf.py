@@ -72,3 +72,41 @@ def test_ivf_assignment_plan_has_no_exchange(spark):
 
     p = physical_plan(ivf_topk(spark, SF))
     assert "Exchange" not in p and "Window" not in p and "Join" not in p
+
+
+def test_large_k_assignment_udf_path(spark):
+    """VERDICT r3 finding #3: above the literal budget the assignment
+    switches to the broadcast-matrix pandas-UDF argmax. At K=64 forced
+    through the UDF path (budget=0) the buckets match the literal form
+    row-for-row on the real embeddings table, and the plan is still a
+    pure projection — ArrowEvalPython, zero Exchange/Join/Window."""
+    from pyspark.sql import functions as F
+
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        _assign_bucket,
+        _emb,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import physical_plan
+
+    emb = _emb(spark, SF)
+    cent_list = [
+        (r["cid"], [float(x) for x in r["cv"]])
+        for r in emb.filter(F.col("vec_id") < 64)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .collect()
+    ]
+    assert len(cent_list) == 64
+
+    def assigned(budget):
+        col = _assign_bucket(
+            F.col("embedding"), cent_list, "float", literal_budget=budget
+        )
+        df = emb.select("vec_id", col.cast("long").alias("bucket"))
+        return df, {r["vec_id"]: r["bucket"] for r in df.collect()}
+
+    df_udf, via_udf = assigned(0)  # force the pandas-UDF path
+    _, via_lit = assigned(10**9)  # force the literal path
+    assert via_udf == via_lit
+    p = physical_plan(df_udf)
+    assert "ArrowEvalPython" in p
+    assert "Exchange" not in p and "Window" not in p and "Join" not in p
