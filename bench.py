@@ -309,13 +309,38 @@ def run_scaling() -> dict:
     # marked dirty — the run always terminates with SOME measurement).
     wait_budget = [LOAD_WAIT_SEC]
 
+    def _busy_cores(sample_sec: float = 2.0) -> float:
+        """Instantaneous host busy-ness in CORES from two /proc/stat
+        reads. The 1-min loadavg needs ~2-3 idle minutes to decay below
+        the gate after each measurement round (the bench ITSELF pushes
+        it past 30), so gating on loadavg alone would mark genuinely
+        idle windows dirty and burn the wait budget on our own residue;
+        a 2 s busy sample sees only CURRENT external activity."""
+        def _snap():
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+            return sum(vals), idle
+
+        t0, i0 = _snap()
+        time.sleep(sample_sec)
+        t1, i1 = _snap()
+        dt = max(t1 - t0, 1)
+        ncpu = os.cpu_count() or 1
+        return ncpu * (1.0 - (i1 - i0) / dt)
+
     def _wait_for_quiet() -> float:
-        load = os.getloadavg()[0]
+        """Returns the effective start load: min(1-min loadavg, busy
+        cores) — quiet means EITHER is below the gate (a decayed-but-
+        idle box passes on busy; a briefly-idle-but-contended box is
+        caught by loadavg next round)."""
+        load = min(os.getloadavg()[0], _busy_cores())
         while load > LOAD_GATE and wait_budget[0] > 0:
             step = min(30.0, wait_budget[0])
             time.sleep(step)
             wait_budget[0] -= step
-            load = os.getloadavg()[0]
+            load = min(os.getloadavg()[0], _busy_cores())
         return load
 
     def _one_round() -> None:
@@ -635,6 +660,15 @@ def write_baseline_md(payload: dict) -> None:
         "pretouch, lazy heap pages become host-level faults and the 32-core",
         "run collapses ~6x (measured).",
         "",
+        "bm25_topk attribution (r3 question): ~0.73 s at sf0.1 across",
+        "rounds is the Arrow pandas-UDF tf-counter's fixed per-query",
+        "cost (python worker spin-up/reuse + one text-column Arrow round",
+        "trip) on a 2k-doc corpus; the r2 0.43 s figure was the",
+        "interpreted-HOF counter, cheaper below ~10k docs and",
+        "asymptotically far slower (it was replaced because tf counting",
+        "dominated bm25/hybrid). hybrid_topk, which runs the same counter",
+        "once persisted, sits at ~0.5 s.",
+        "",
         "Comparing paths: a pipeline with HIGHER absolute throughput at",
         "both levels can still show a LOWER efficiency ratio — by using",
         "the low level's cores better it leaves less host headroom to",
@@ -678,9 +712,28 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--measure-level":
         _measure_level(int(sys.argv[2]), sys.argv[3], float(sys.argv[4]))
         return
+    # SPARK_GRAFT_BENCH_ONLY=headline|scaling reruns one phase in a quiet
+    # window, reusing the other phase's numbers from the last full run in
+    # BENCH/headline.json (a load-contended phase shouldn't force paying
+    # for BOTH phases again). Default: full run.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    prev = {}
+    if only in ("headline", "scaling"):
+        try:
+            with open(os.path.join(_REPO, "BENCH", "headline.json")) as f:
+                prev = json.load(f)
+        except OSError:
+            only = ""  # no prior run to merge with: do the full run
     queries: dict = {}
-    total = run_headline(queries)
-    scaling = run_scaling()
+    if only == "scaling":
+        queries = dict(prev.get("queries", {}))
+        total = float(prev.get("value", 0.0))
+    else:
+        total = run_headline(queries)
+    if only == "headline":
+        scaling = prev["scaling"]
+    else:
+        scaling = run_scaling()
     payload = {
         "metric": "headline_queries_total",
         "value": round(total, 3),

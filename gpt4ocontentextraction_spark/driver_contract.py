@@ -696,6 +696,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+@register("dup_ngram_spans", dedup.DUP_NGRAM_SPANS_SQL)
+def q_dup_ngram_spans(spark, sf_dir):
+    """Exact duplicated 8-gram spans (substring-level dedup signal):
+    every word position whose 8-gram repeats across the corpus, with its
+    occurrence count. Arrow-batched gram pass, hash-agg by gram."""
+    return dedup.duplicated_ngram_spans(_docs(spark, sf_dir))
+
+
 _E2E_DIMS = 16
 _E2E_P = 1_000_003
 _E2E_TRUNC = 256  # embedding-input truncation (models cap input length)

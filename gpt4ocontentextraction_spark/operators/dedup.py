@@ -791,3 +791,101 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     AS jaccard
 FROM sh_base a JOIN sh_base b ON a.doc_id < b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated n-gram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_N = 8
+DUP_NGRAM_MIN_COUNT = 2
+
+
+def _gram_spans_udf(n: int):
+    """Arrow-vectorized (pos, gram) extraction per document. The gram
+    construction deliberately does NOT use split+transform+slice HOF
+    lambdas (Catalyst runs them interpreted per element — the measured
+    trap) nor a lead()-window over exploded words (that shape shuffles
+    the exploded corpus by doc_id before any aggregation). A batch UDF
+    emits the grams with zero pre-shuffle; the only exchange in the
+    operator is the groupBy(gram) count itself. `" ".join(ws[i:i+n])`
+    over `text.split(" ")` is semantically identical to both engines'
+    split/array_to_string, so string equality — the only thing the
+    aggregation needs — is exact."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<pos: long, gram: string>>")
+    def grams(texts):
+        out = []
+        for t in texts.tolist():
+            if t is None or t != t:
+                out.append(None)
+                continue
+            ws = t.split(" ")
+            out.append(
+                [
+                    {"pos": i, "gram": " ".join(ws[i : i + n])}
+                    for i in range(len(ws) - n + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return grams
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame, n: int = DUP_NGRAM_N, min_count: int = DUP_NGRAM_MIN_COUNT
+) -> DataFrame:
+    """Exact substring-level duplication signal (the training-data
+    pipeline op behind 'dedup exact repeated passages', cf. Lee et al.
+    2022 'Deduplicating Training Data Makes Language Models Better'):
+    every word position whose n-gram occurs >= min_count times across
+    the corpus, with the occurrence count. Downstream consumers mask or
+    cut the flagged spans; for a full suffix-array equivalent you run
+    this at several n and merge overlapping flagged ranges.
+
+    Scale shape: one Arrow-batched gram pass over the docs (no window,
+    no pre-shuffle), one hash aggregation shuffled by gram, one join of
+    the gram occurrences against the duplicated-gram counts (AQE picks
+    broadcast when the duplicated set is small). At 100 TB you shuffle a
+    64-bit gram hash instead of the string and re-read the strings only
+    for the (rare) verify — same plan, narrower exchange; the string
+    form IS the spec and the oracle."""
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_gram_spans_udf(n)("text")).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
+    )
+    counts = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return grams.join(counts, "gram").select(
+        "doc_id", "pos", "gram", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+DUP_NGRAM_SPANS_SQL = f"""
+WITH words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         array_to_string(ws[i : i + {DUP_NGRAM_N} - 1], ' ') AS gram
+  FROM words,
+       unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - {DUP_NGRAM_N} + 2,
+                                1))) AS t(i)
+),
+counts AS (
+  SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram
+  HAVING COUNT(*) >= {DUP_NGRAM_MIN_COUNT}
+)
+SELECT g.doc_id, g.pos, g.gram, CAST(c.cnt AS BIGINT) AS cnt
+FROM grams g JOIN counts c USING (gram)
+"""

@@ -90,3 +90,22 @@ def test_simhash64_all_bits_vary(spark):
     fps = [r["simhash64"] for r in simhash64_fingerprints(docs).collect()]
     for j in (31, 63):
         assert {(fp >> j) & 1 for fp in fps} == {0, 1}, f"bit {j} is dead"
+
+
+def test_duplicated_ngram_spans_hand_case(spark):
+    """Two docs sharing one exact 8-gram: exactly those two positions are
+    flagged (cnt=2); every other position's gram is unique. A doc
+    shorter than n yields no grams at all; null text drops out."""
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x {shared} y"),
+            (2, f"{shared} z z z"),
+            (3, "too short"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.duplicated_ngram_spans(docs, n=8, min_count=2).collect()
+    got = sorted((r["doc_id"], r["pos"], r["gram"], r["cnt"]) for r in rows)
+    assert got == [(1, 1, shared, 2), (2, 0, shared, 2)]
