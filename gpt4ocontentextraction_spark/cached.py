@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+_TRACKED_BC: list = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -32,8 +33,17 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_broadcast(bc):
+    """Register a sc.broadcast for release_all() (e.g. the large-K IVF
+    centroid matrix — ~100 MB per call at realistic K, and Spark never
+    reclaims a broadcast the driver still references)."""
+    _TRACKED_BC.append(bc)
+    return bc
+
+
 def release_all() -> int:
-    """Unpersist every tracked relation (non-blocking); returns how many."""
+    """Unpersist every tracked relation and destroy every tracked
+    broadcast (non-blocking); returns how many were released."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -41,6 +51,13 @@ def release_all() -> int:
             df.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped: nothing to release
+        n += 1
+    while _TRACKED_BC:
+        bc = _TRACKED_BC.pop()
+        try:
+            bc.destroy()
+        except Exception:
+            pass
         n += 1
     return n
 

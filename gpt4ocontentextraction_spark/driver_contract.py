@@ -704,6 +704,15 @@ def q_dup_ngram_spans(spark, sf_dir):
     return dedup.duplicated_ngram_spans(_docs(spark, sf_dir))
 
 
+@register("dup_ranges", dedup.DUP_RANGES_SQL)
+def q_dup_ranges(spark, sf_dir):
+    """Duplicated word-RANGES per document (gaps-and-islands merge of
+    the flagged 8-gram positions) — the cut/mask intervals a cleaning
+    pipeline consumes. Per-doc windows only; the corpus-wide work is the
+    gram count already gated in dup_ngram_spans."""
+    return dedup.duplicated_ranges(_docs(spark, sf_dir))
+
+
 _E2E_DIMS = 16
 _E2E_P = 1_000_003
 _E2E_TRUNC = 256  # embedding-input truncation (models cap input length)

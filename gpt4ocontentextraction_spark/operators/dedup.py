@@ -27,7 +27,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cached import track
@@ -888,4 +888,91 @@ counts AS (
 )
 SELECT g.doc_id, g.pos, g.gram, CAST(c.cnt AS BIGINT) AS cnt
 FROM grams g JOIN counts c USING (gram)
+"""
+
+
+def duplicated_ranges(
+    docs: DataFrame, n: int = DUP_NGRAM_N, min_count: int = DUP_NGRAM_MIN_COUNT
+) -> DataFrame:
+    """Merge duplicated_ngram_spans' flagged positions into maximal
+    duplicated word-ranges per document — the form a cleaning pipeline
+    actually consumes (cut/mask [start_pos, end_pos]). Consecutive
+    flagged positions describe overlapping duplicated grams, so a run of
+    positions p..q flags words p..q+n-1 as lying inside repeated text.
+
+    Gaps-and-islands relationally: lag(pos) over (doc_id ORDER BY pos)
+    marks run starts (prev != pos-1), a running SUM of the markers
+    numbers the runs, one groupBy emits each run's extent. Both windows
+    partition by doc_id — bounded per-document state, no global window;
+    the heavy lifting (corpus-wide gram counting) already happened in
+    duplicated_ngram_spans."""
+    flagged = duplicated_ngram_spans(docs, n=n, min_count=min_count).select(
+        "doc_id", "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w) == F.col("pos") - 1, F.lit(0)
+        ).otherwise(F.lit(1)).alias("is_start"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("run_id"),
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(n - 1)).alias("end_pos"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.col("end_pos").cast("long").alias("end_pos"),
+            "n_grams",
+        )
+    )
+
+
+DUP_RANGES_SQL = f"""
+WITH words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         array_to_string(ws[i : i + {DUP_NGRAM_N} - 1], ' ') AS gram
+  FROM words,
+       unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - {DUP_NGRAM_N} + 2,
+                                1))) AS t(i)
+),
+counts AS (
+  SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram
+  HAVING COUNT(*) >= {DUP_NGRAM_MIN_COUNT}
+),
+flagged AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN counts c USING (gram)
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev = pos - 1 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM flagged
+  )
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) + {DUP_NGRAM_N} - 1 AS BIGINT) AS end_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM runs
+GROUP BY doc_id, run_id
 """

@@ -195,7 +195,11 @@ def _argmax_bucket_pandas(vec_col, cent_list):
     mat = mat[order]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.maximum(norms, 1e-300)
-    bc = SparkSession.getActiveSession().sparkContext.broadcast((cids, mat))
+    from ..cached import track_broadcast
+
+    bc = track_broadcast(
+        SparkSession.getActiveSession().sparkContext.broadcast((cids, mat))
+    )
 
     @pandas_udf("long")
     def assign(vs):

@@ -109,3 +109,31 @@ def test_duplicated_ngram_spans_hand_case(spark):
     rows = dedup.duplicated_ngram_spans(docs, n=8, min_count=2).collect()
     got = sorted((r["doc_id"], r["pos"], r["gram"], r["cnt"]) for r in rows)
     assert got == [(1, 1, shared, 2), (2, 0, shared, 2)]
+
+
+def test_duplicated_ranges_merges_runs(spark):
+    """Overlapping flagged grams merge into one maximal range; disjoint
+    repeats in the same doc yield separate ranges."""
+    shared = "a b c d e f g h i"  # 9 words -> two overlapping 8-grams
+    other = "p q r s t u v w"     # 8 words -> one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} gap1 gap2 gap3 {other}"),
+            (2, f"{shared} tail"),
+            (3, other),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_grams"])
+        for r in dedup.duplicated_ranges(docs, n=8, min_count=2).collect()
+    )
+    # doc 1: words 0..8 duplicated (grams at pos 0,1 merge), then the
+    # `other` block at words 12..19 (one gram at pos 12)
+    # doc 2: words 0..8; doc 3: words 0..7
+    assert rows == [
+        (1, 0, 8, 2),
+        (1, 12, 19, 1),
+        (2, 0, 8, 2),
+        (3, 0, 7, 1),
+    ]
