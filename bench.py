@@ -821,6 +821,51 @@ def write_baseline_md(payload: dict) -> None:
     ]
     for k, v in payload["queries"].items():
         lines.append(f"| {k} | {v} |")
+    # Cross-run evidence: one run's windows are one host-weather sample;
+    # the pooled clean pairs across every recorded run (RUNS.jsonl is
+    # append-only) are the robust statement of the contract number.
+    hist_path = os.path.join(_REPO, "BENCH", "RUNS.jsonl")
+    try:
+        import statistics as _st
+
+        files_clean: list = []
+        fused_clean: list = []
+        files_vs_ceil: list = []
+        ceils: list = []
+        with open(hist_path) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                sc = e.get("scaling", {})
+                files_clean += sc.get("files_per_round_efficiency_clean", [])
+                fused_clean += sc.get("fused_per_round_efficiency_clean", [])
+                v = sc.get("files_efficiency_vs_host_ceiling")
+                if v is not None:
+                    files_vs_ceil.append(v)
+                ceils += sc.get("per_round_host_ceiling", [])
+        if files_clean or fused_clean:
+            lines += [
+                "",
+                "## Cross-run evidence (pooled from BENCH/RUNS.jsonl)",
+                "",
+                f"- terminal-job clean-pair efficiencies, all recorded"
+                f" runs: {files_clean} -> median"
+                f" **{round(_st.median(files_clean), 3) if files_clean else None}**",
+                f"- terminal-job vs same-window host ceiling, per-run"
+                f" medians: {files_vs_ceil} -> median"
+                f" **{round(_st.median(files_vs_ceil), 3) if files_vs_ceil else None}**",
+                f"- fused clean-pair efficiencies, all runs: {fused_clean}"
+                f" -> median"
+                f" {round(_st.median(fused_clean), 3) if fused_clean else None}",
+                f"- host ceilings observed across all rounds: {ceils}"
+                f" -> median {round(_st.median(ceils), 3) if ceils else None}"
+                f" (the box's own limit; < 0.8 in most windows even at"
+                f" idle starts)",
+            ]
+    except OSError:
+        pass
     with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -839,8 +884,12 @@ def main() -> None:
         try:
             with open(os.path.join(_REPO, "BENCH", "headline.json")) as f:
                 prev = json.load(f)
-        except OSError:
-            only = ""  # no prior run to merge with: do the full run
+        except (OSError, ValueError):
+            # missing OR truncated/corrupt prior run (the tail-kill
+            # failure mode): fall back to the full run
+            only = ""
+        if only and ("scaling" not in prev or "queries" not in prev):
+            only = ""  # prior payload incomplete: do the full run
     queries: dict = {}
     if only == "scaling":
         queries = dict(prev.get("queries", {}))
@@ -867,13 +916,15 @@ def main() -> None:
         "fused_scaling_efficiency": scaling["fused_efficiency"],
         "scaling": scaling,
     }
-    write_baseline_md(payload)
-    # append-only run history: BASELINE.md is overwritten per run, so a
-    # noisy-window run would otherwise erase quiet-window evidence — the
-    # per_round_start_load field says which is which.
+    # append-only run history FIRST: BASELINE.md is overwritten per run
+    # (a noisy-window run would otherwise erase quiet-window evidence —
+    # the per_round_start_load field says which is which), and its
+    # pooled cross-run section reads the history, which must already
+    # contain this run.
     hist = os.path.join(_REPO, "BENCH", "RUNS.jsonl")
     with open(hist, "a") as f:
         f.write(json.dumps({k: v for k, v in payload.items() if k != "queries"}) + "\n")
+    write_baseline_md(payload)
     # full payload to a file the driver/judge can always read whole...
     with open(os.path.join(_REPO, "BENCH", "headline.json"), "w") as f:
         json.dump(payload, f, indent=1)

@@ -41,23 +41,35 @@ def track_broadcast(bc):
     return bc
 
 
-def release_all() -> int:
-    """Unpersist every tracked relation and destroy every tracked
-    broadcast (non-blocking); returns how many were released."""
+def release_broadcasts() -> int:
+    """UNPERSIST (not destroy) every tracked broadcast: executor copies
+    are dropped, but a plan that still references the broadcast simply
+    re-ships it lazily on its next action — preserving this module's
+    invariant that releasing early is always CORRECT, never wrong
+    (destroy() would poison such plans permanently). Iterative callers
+    (the Lloyd loop) call this between iterations so dead per-iteration
+    broadcasts never accumulate."""
     n = 0
+    while _TRACKED_BC:
+        bc = _TRACKED_BC.pop()
+        try:
+            bc.unpersist(blocking=False)
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
+def release_all() -> int:
+    """Unpersist every tracked relation and broadcast (non-blocking);
+    returns how many were released."""
+    n = release_broadcasts()
     while _TRACKED:
         df = _TRACKED.pop()
         try:
             df.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped: nothing to release
-        n += 1
-    while _TRACKED_BC:
-        bc = _TRACKED_BC.pop()
-        try:
-            bc.destroy()
-        except Exception:
-            pass
         n += 1
     return n
 

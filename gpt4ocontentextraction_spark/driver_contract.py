@@ -111,11 +111,19 @@ def _pyscan_spans_dir(spark, sf_dir) -> str:
         tempfile.gettempdir(), f"pyscan_gate_{getpass.getuser()}_{key}"
     )
     try:
-        if os.path.isdir(root) and os.stat(root).st_uid != os.getuid():
-            # foreign-owned dir squatting on our name: don't trust it
-            root = f"{root}_{uuid.uuid4().hex[:8]}"
+        foreign = os.path.isdir(root) and os.stat(root).st_uid != os.getuid()
     except OSError:
-        root = f"{root}_{uuid.uuid4().hex[:8]}"
+        foreign = True
+    if foreign:
+        # foreign-owned dir squatting on our name: fall back to a
+        # repo-local cache dir we always own. STABLE (not a per-call
+        # uuid — that would rebuild and leak one spans copy per call)
+        # and squat-proof (inside our own tree).
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".cache",
+            f"pyscan_gate_{key}",
+        )
     cache = os.path.join(root, "spans")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         build = f"{cache}.build-{uuid.uuid4().hex}"

@@ -852,13 +852,19 @@ def duplicated_ngram_spans(
     64-bit gram hash instead of the string and re-read the strings only
     for the (rare) verify — same plan, narrower exchange; the string
     form IS the spec and the oracle."""
-    grams = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(_gram_spans_udf(n)("text")).alias("g"),
-    ).select(
-        "doc_id",
-        F.col("g.pos").alias("pos"),
-        F.col("g.gram").alias("gram"),
+    # consumed twice (the count aggregation and the join probe side):
+    # track-persisted or the Arrow gram extraction would run over the
+    # corpus once per reference — the same double-evaluation trap the
+    # minhash/simhash/LSH operators close with track()
+    grams = track(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(_gram_spans_udf(n)("text")).alias("g"),
+        ).select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.col("g.gram").alias("gram"),
+        )
     )
     counts = (
         grams.groupBy("gram")

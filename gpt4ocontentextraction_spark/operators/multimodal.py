@@ -48,6 +48,16 @@ FEATURES_DDL = (
 )
 
 
+def _is_fake_blob(blob: bytes) -> bool:
+    """True when blob carries the synthetic FAKE-codec framing; anything
+    else routes to _decode_real. The ONE dispatch predicate for
+    ingest/decode_features/resize — change the framing here only."""
+    return (
+        len(blob) >= HEADER_SIZE
+        and struct.unpack_from(HEADER_FMT, blob, 0)[0] == MAGIC
+    )
+
+
 def _lcg_bytes(seed: int, n: int) -> np.ndarray:
     # deterministic byte stream. The LCG recurrence is sequential, so this
     # is a per-byte Python loop — fixture synthesis only, never a data
@@ -127,10 +137,7 @@ def ingest_media_dir(spark, path: str, recursive: bool = True) -> DataFrame:
                 # non-FAKE blobs route to the real decoder and its
                 # result is ROWED (PNG decodes for real; other codecs
                 # raise NotImplementedError inside _decode_real)
-                if (
-                    len(blob) < HEADER_SIZE
-                    or struct.unpack_from(HEADER_FMT, blob, 0)[0] != MAGIC
-                ):
+                if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
                     rows.append(
                         (ref, dec["kind"], dec["mime"], dec["width"],
@@ -170,10 +177,7 @@ def decode_features(media: DataFrame) -> DataFrame:
                 pdf["media_ref"], pdf["data"], pdf["n_frames"]
             ):
                 blob = bytes(blob)
-                if (
-                    len(blob) < HEADER_SIZE
-                    or struct.unpack_from(HEADER_FMT, blob, 0)[0] != MAGIC
-                ):
+                if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
                     px = dec["pixels"]
                     rows.append(
@@ -231,10 +235,7 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
             out = []
             for blob in pdf["data"]:
                 blob = bytes(blob)
-                if (
-                    len(blob) < HEADER_SIZE
-                    or struct.unpack_from(HEADER_FMT, blob, 0)[0] != MAGIC
-                ):
+                if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
                     out.append(
                         encode_png(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..cached import track
+from ..cached import release_broadcasts, track
 
 TOP_K = 10
 IVF_K = 8  # coarse centroids
@@ -204,10 +204,29 @@ def _argmax_bucket_pandas(vec_col, cent_list):
     @pandas_udf("long")
     def assign(vs):
         b_cids, b_mat = bc.value
-        v = np.array(vs.tolist(), dtype=np.float64)
-        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
-        idx = np.argmax(vn @ b_mat.T, axis=1)
-        return pd.Series(b_cids[idx])
+        dim = b_mat.shape[1]
+        vals = vs.tolist()
+        # NULL/ragged rows get a NULL bucket, matching the literal
+        # fold-cosine arm (which yields NULL and drops the row from
+        # every bucket) instead of crashing np.array on a sequence.
+        ok = [v is not None and len(v) == dim for v in vals]
+        out = [None] * len(vals)
+        if any(ok):
+            v = np.array(
+                [vals[i] for i, good in enumerate(ok) if good],
+                dtype=np.float64,
+            )
+            vn = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-300
+            )
+            idx = np.argmax(vn @ b_mat.T, axis=1)
+            picked = b_cids[idx]
+            j = 0
+            for i, good in enumerate(ok):
+                if good:
+                    out[i] = int(picked[j])
+                    j += 1
+        return pd.Series(out, dtype="object")
 
     return assign(vec_col)
 
@@ -539,6 +558,11 @@ def ivf_kmeans_topk(
         new = {r["cid"]: list(r["cv"]) for r in new_rows}
         # empty-cluster reseed: keep the previous centroid
         cent_list = [(cid, new.get(cid, cv)) for cid, cv in cent_list]
+        # this iteration's assignment (and, at large K, its tracked
+        # centroid broadcast) is fully consumed by the collect above —
+        # drop executor copies now so iters x ~100 MB never accumulates
+        # within one query (unpersist, not destroy: re-ships if reused)
+        release_broadcasts()
     bucket = _assign_bucket(F.col("v"), cent_list, "double")
     qv_rows = emb.filter(F.col("vec_id") == query_id).collect()
     if not qv_rows:
