@@ -838,6 +838,11 @@ def write_baseline_md(payload: dict) -> None:
                     e = json.loads(line)
                 except ValueError:
                     continue
+                if e.get("bench_only") == "headline":
+                    # a headline-only rerun carries MERGED scaling data
+                    # copied from the previous run — pooling it would
+                    # double-count that run's rounds
+                    continue
                 sc = e.get("scaling", {})
                 files_clean += sc.get("files_per_round_efficiency_clean", [])
                 fused_clean += sc.get("fused_per_round_efficiency_clean", [])
