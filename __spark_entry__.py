@@ -61,9 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
     oracle, so the fusion is result-identical."""
     _ensure_worker_path()
     _ship_package(spark)
-    from gpt4ocontentextraction_spark.driver_contract import QUERIES
+    from gpt4ocontentextraction_spark.driver_contract import EXTRA_QUERIES
 
-    return QUERIES["extract_spans_pyscan"](spark, "/root/testdata/sf0.001")
+    return EXTRA_QUERIES["extract_spans_pyscan"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -120,7 +120,10 @@ def _tiled_documents(spark, sf_dir: str, tile: int, repeat: int = 1):
 
 
 def run_headline(results: dict) -> float:
-    from gpt4ocontentextraction_spark.driver_contract import QUERIES
+    from gpt4ocontentextraction_spark.driver_contract import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
     from gpt4ocontentextraction_spark.session import get_spark
 
     from gpt4ocontentextraction_spark.cached import release_all
@@ -144,15 +147,16 @@ def run_headline(results: dict) -> float:
     except Exception:
         pass
     total = 0.0
+    lookup = {**EXTRA_QUERIES, **QUERIES}
     for name in HEADLINE:
-        if name not in QUERIES:
+        if name not in lookup:
             continue
         # time construction AND materialization: several operators
         # (hybrid, k-means IVF) do bounded driver-coordinated work in
         # the builder itself — timing only the final plan would
         # undercount them.
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, SF_DIR)
+        df = lookup[name](spark, SF_DIR)
         _noop_write(df)
         dt = time.perf_counter() - t0
         results[name] = round(dt, 3)

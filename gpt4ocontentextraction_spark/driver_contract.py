@@ -25,8 +25,22 @@ from .operators.merge import merge_markdown
 from .spanify import SPANIFY_SQL, spanify, spanify_exploded
 from .streaming import windows as _win
 
+# The driver's correctness sweep records oracle rows for at most the
+# FIRST 50 registered queries (observed: CORRECTNESS_r04 contains exactly
+# registry positions 0-49, silently dropping positions 50-51). QUERIES is
+# therefore capped at DRIVER_SWEEP_CAP entries — every registered gate
+# gets a recorded oracle row — and alternate execution paths of the same
+# operator are gated as ONE labeled-union query (each path's rows carry a
+# `variant` tag, so every path is still individually hash-checked against
+# the oracle). The individual path callables live in EXTRA_QUERIES: the
+# local parity test (tests/test_oracle_parity.py) sweeps QUERIES AND
+# EXTRA_QUERIES, and bench.py times the paths separately.
+DRIVER_SWEEP_CAP = 50
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None):
@@ -34,6 +48,21 @@ def register(name: str, oracle: str | None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register_extra(name: str, oracle: str | None):
+    """Register an alternate-path query OUTSIDE the driver-facing gate
+    registry (see DRIVER_SWEEP_CAP): still oracle-checked locally by
+    tests/test_oracle_parity.py and timed by bench.py, and exercised by
+    the driver inside its family's labeled-union gate."""
+
+    def deco(fn):
+        EXTRA_QUERIES[name] = fn
+        if oracle is not None:
+            EXTRA_ORACLES[name] = oracle
         return fn
 
     return deco
@@ -138,7 +167,7 @@ def _pyscan_spans_dir(spark, sf_dir) -> str:
     return cache
 
 
-@register(
+@register_extra(
     "extract_spans_pyscan",
     f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text, media_ref,'
     f' CAST("offset" AS BIGINT) AS offset FROM extracted',
@@ -172,7 +201,7 @@ def q_page_chunks(spark, sf_dir):
     return page_chunks(extract(spanify(_docs(spark, sf_dir))))
 
 
-@register(
+@register_extra(
     "page_chunks_fused",
     f"WITH {oracles.PAGE_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
     f" pg_number, file_name, title, content FROM page_chunks",
@@ -185,7 +214,7 @@ def q_page_chunks_fused(spark, sf_dir):
     return page_chunks_fused(spanify(_docs(spark, sf_dir)))
 
 
-@register(
+@register_extra(
     "markdown_chunks_fused",
     f"WITH {oracles.MD_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
     f" pg_number, file_name, title, content FROM md_chunks",
@@ -198,7 +227,7 @@ def q_markdown_chunks_fused(spark, sf_dir):
     return markdown_chunks_fused(spanify(_docs(spark, sf_dir)))
 
 
-@register(
+@register_extra(
     "page_chunks_pyscan",
     f"WITH {oracles.PAGE_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
     f" pg_number, file_name, title, content FROM page_chunks",
@@ -215,7 +244,7 @@ def q_page_chunks_pyscan(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "markdown_chunks_pyscan",
     f"WITH {oracles.MD_CHUNKS_SQL} SELECT chunk_doc_id, chunk_id,"
     f" pg_number, file_name, title, content FROM md_chunks",
@@ -548,7 +577,7 @@ def q_resume_pending(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "extract_spans_skew_defused",
     f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text,'
     f' media_ref, CAST("offset" AS BIGINT) AS offset FROM extracted',
@@ -659,7 +688,7 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
-@register("simhash_fingerprints", dedup.SIMHASH_FP_SQL)
+@register_extra("simhash_fingerprints", dedup.SIMHASH_FP_SQL)
 def q_simhash(spark, sf_dir):
     """SimHash 32-bit fingerprints (bit-exact vs the oracle)."""
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
@@ -681,7 +710,7 @@ def q_simhash_pairs_banded(spark, sf_dir):
     return dedup.simhash_pairs_banded(_docs(spark, sf_dir))
 
 
-@register("simhash64_fingerprints", dedup.SIMHASH64_FP_SQL)
+@register_extra("simhash64_fingerprints", dedup.SIMHASH64_FP_SQL)
 def q_simhash64(spark, sf_dir):
     """64-bit SimHash fingerprints (two independent polyhash folds;
     bit-exact vs the oracle incl. the two's-complement bit 63)."""
@@ -712,13 +741,32 @@ def q_dup_ngram_spans(spark, sf_dir):
     return dedup.duplicated_ngram_spans(_docs(spark, sf_dir))
 
 
+@register("dup_ngram_spans_hashed", dedup.DUP_NGRAM_SPANS_SQL)
+def q_dup_ngram_spans_hashed(spark, sf_dir):
+    """The 100-TB exchange shape of dup_ngram_spans: the corpus-wide
+    count aggregation shuffles a 64-bit xxhash of each gram instead of
+    the string; strings are re-derived only for flagged positions. Same
+    string oracle — the narrowing is result-identical."""
+    return dedup.duplicated_ngram_spans_hashed(_docs(spark, sf_dir))
+
+
 @register("dup_ranges", dedup.DUP_RANGES_SQL)
 def q_dup_ranges(spark, sf_dir):
     """Duplicated word-RANGES per document (gaps-and-islands merge of
-    the flagged 8-gram positions) — the cut/mask intervals a cleaning
-    pipeline consumes. Per-doc windows only; the corpus-wide work is the
-    gram count already gated in dup_ngram_spans."""
+    the flagged 8-gram positions, gap tolerance n so covered intervals
+    that overlap or touch become ONE range) — the cut/mask intervals a
+    cleaning pipeline consumes. Per-doc windows only; the corpus-wide
+    work is the gram count already gated in dup_ngram_spans."""
     return dedup.duplicated_ranges(_docs(spark, sf_dir))
+
+
+@register("dup_ranges_multi", dedup.DUP_RANGES_MULTI_SQL)
+def q_dup_ranges_multi(spark, sf_dir):
+    """Maximal duplicated word-intervals from the UNION of 8- and
+    16-gram flagged spans (interval merge with running-max islands,
+    per-doc windows only) — the multi-n form of the Lee et al. substring
+    dedup a cleaning pipeline cuts/masks by."""
+    return dedup.duplicated_ranges_multi(_docs(spark, sf_dir))
 
 
 _E2E_DIMS = 16
@@ -950,3 +998,187 @@ def q_point_lookup(spark, sf_dir):
             "n_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Labeled-union gates for alternate execution paths (see DRIVER_SWEEP_CAP):
+# each family's paths produce the SAME relation by construction, so one
+# gate unions them with a `variant` tag and the oracle repeats its rows
+# once per tag — every path's values are individually hash-checked.
+# ---------------------------------------------------------------------------
+
+_EXTRACT_BASE_SQL = (
+    'SELECT doc_id, kind, text, media_ref, CAST("offset" AS BIGINT) AS'
+    " offset FROM extracted"
+)
+
+
+@register(
+    "extract_spans_variants",
+    f"WITH {oracles.EXTRACT_SQL}, base AS ({_EXTRACT_BASE_SQL})"
+    " SELECT base.*, 'pyscan' AS variant FROM base"
+    " UNION ALL SELECT base.*, 'skew' AS variant FROM base",
+)
+def q_extract_spans_variants(spark, sf_dir):
+    """M5 alternate paths in one gate: the fused Python-native scan
+    (sources/pyscan.py) and the skew-defused page-range sharding
+    (operators/skew.py), each labeled and checked against the same
+    EXTRACT_SQL oracle as the classic extract_spans."""
+    py = q_extract_spans_pyscan(spark, sf_dir).withColumn(
+        "variant", F.lit("pyscan")
+    )
+    sk = q_extract_skew(spark, sf_dir).withColumn("variant", F.lit("skew"))
+    return py.unionByName(sk)
+
+
+_PAGE_CHUNKS_BASE_SQL = (
+    "SELECT chunk_doc_id, chunk_id, pg_number, file_name, title, content"
+    " FROM page_chunks"
+)
+
+
+@register(
+    "page_chunks_variants",
+    f"WITH {oracles.PAGE_CHUNKS_SQL}, base AS ({_PAGE_CHUNKS_BASE_SQL})"
+    " SELECT base.*, 'fused' AS variant FROM base"
+    " UNION ALL SELECT base.*, 'pyscan' AS variant FROM base",
+)
+def q_page_chunks_variants(spark, sf_dir):
+    """C2 alternate paths in one gate: chunking fused into the extraction
+    mapInArrow pass and the whole-pipeline pyscan source, both against the
+    relational page_chunks oracle."""
+    fu = q_page_chunks_fused(spark, sf_dir).withColumn(
+        "variant", F.lit("fused")
+    )
+    py = q_page_chunks_pyscan(spark, sf_dir).withColumn(
+        "variant", F.lit("pyscan")
+    )
+    return fu.unionByName(py)
+
+
+_MD_CHUNKS_BASE_SQL = (
+    "SELECT chunk_doc_id, chunk_id, pg_number, file_name, title, content"
+    " FROM md_chunks"
+)
+
+
+@register(
+    "markdown_chunks_variants",
+    f"WITH {oracles.MD_CHUNKS_SQL}, base AS ({_MD_CHUNKS_BASE_SQL})"
+    " SELECT base.*, 'fused' AS variant FROM base"
+    " UNION ALL SELECT base.*, 'pyscan' AS variant FROM base",
+)
+def q_markdown_chunks_variants(spark, sf_dir):
+    """C3 alternate paths in one gate: fused and pyscan forms against the
+    relational markdown_chunks oracle (separator mode keeps its own gate —
+    its recurrence has a different oracle)."""
+    fu = q_markdown_chunks_fused(spark, sf_dir).withColumn(
+        "variant", F.lit("fused")
+    )
+    py = q_markdown_chunks_pyscan(spark, sf_dir).withColumn(
+        "variant", F.lit("pyscan")
+    )
+    return fu.unionByName(py)
+
+
+@register("simhash_fingerprints_variants", dedup.SIMHASH_FP_VARIANTS_SQL)
+def q_simhash_fp_variants(spark, sf_dir):
+    """SimHash fingerprints, 32- and 64-bit forms in one gate (bit-exact
+    vs the oracle in both widths, incl. the 64-bit two's-complement bit
+    63 and the mix-hash bits 31/63)."""
+    docs = _docs(spark, sf_dir)
+    fp32 = dedup.simhash_fingerprints(docs).select(
+        "doc_id",
+        F.lit(32).cast("long").alias("bits"),
+        F.col("simhash").alias("fp"),
+    )
+    fp64 = dedup.simhash64_fingerprints(docs).select(
+        "doc_id",
+        F.lit(64).cast("long").alias("bits"),
+        F.col("simhash64").alias("fp"),
+    )
+    return fp32.unionByName(fp64)
+
+
+# ---------------------------------------------------------------------------
+# Canonical gate order. The driver sweeps the FIRST DRIVER_SWEEP_CAP
+# registered queries (see the cap note at the top), so the registry is
+# rebuilt in an explicit order with the once-dropped gates early, and its
+# size is asserted against the cap — adding a 51st gate fails loudly here
+# instead of silently losing a gate's oracle row.
+# ---------------------------------------------------------------------------
+
+_GATE_ORDER = [
+    "spanify",
+    "extract_spans",
+    "extract_spans_variants",
+    "merge_markdown",
+    "page_chunks",
+    "page_chunks_variants",
+    "markdown_chunks",
+    "markdown_chunks_variants",
+    "markdown_chunks_separator",
+    "chunk_dispatch",
+    "point_lookup",
+    "bucketed_doc_join",
+    "page_markers",
+    "string_functions",
+    "parse_doc_id",
+    "pricing_summary",
+    "top_customers_per_nation",
+    "hourly_rollup",
+    "sessionize",
+    "events_rollup_cube",
+    "user_setops",
+    "resume_pending",
+    "rag_context",
+    "media_resolution",
+    "exact_dedup",
+    "minhash_lsh",
+    "simhash_fingerprints_variants",
+    "simhash_pairs",
+    "simhash_pairs_banded",
+    "simhash64_pairs_banded",
+    "ngram_jaccard",
+    "dup_ngram_spans",
+    "dup_ngram_spans_hashed",
+    "dup_ranges",
+    "dup_ranges_multi",
+    "pipeline_end_to_end",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "fingerprints",
+    "embed_deterministic",
+    "cosine_topk",
+    "ivf_topk",
+    "ivf_kmeans_topk",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "bm25_topk",
+    "hybrid_topk",
+    "rerank_topk",
+    "keyword_topk",
+]
+
+
+def _finalize_registry() -> None:
+    missing = [n for n in _GATE_ORDER if n not in QUERIES]
+    extra = [n for n in QUERIES if n not in _GATE_ORDER]
+    assert not missing, f"_GATE_ORDER names unregistered gates: {missing}"
+    assert not extra, f"registered gates missing from _GATE_ORDER: {extra}"
+    assert len(_GATE_ORDER) <= DRIVER_SWEEP_CAP, (
+        f"{len(_GATE_ORDER)} gates exceed the driver's {DRIVER_SWEEP_CAP}-row"
+        " sweep cap — fold alternate paths into a labeled-union gate"
+    )
+    no_oracle = [n for n in QUERIES if n not in ORACLES]
+    assert not no_oracle, f"gates without oracles: {no_oracle}"
+    ordered = {n: QUERIES[n] for n in _GATE_ORDER}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    ordered_oracles = {n: ORACLES[n] for n in _GATE_ORDER}
+    ORACLES.clear()
+    ORACLES.update(ordered_oracles)
+
+
+_finalize_registry()

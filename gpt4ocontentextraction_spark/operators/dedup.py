@@ -900,14 +900,18 @@ FROM grams g JOIN counts c USING (gram)
 def duplicated_ranges(
     docs: DataFrame, n: int = DUP_NGRAM_N, min_count: int = DUP_NGRAM_MIN_COUNT
 ) -> DataFrame:
-    """Merge duplicated_ngram_spans' flagged positions into maximal
-    duplicated word-ranges per document — the form a cleaning pipeline
-    actually consumes (cut/mask [start_pos, end_pos]). Consecutive
-    flagged positions describe overlapping duplicated grams, so a run of
-    positions p..q flags words p..q+n-1 as lying inside repeated text.
+    """Merge duplicated_ngram_spans' flagged positions into MAXIMAL,
+    non-overlapping duplicated word-ranges per document — the form a
+    cleaning pipeline actually consumes (cut/mask [start_pos, end_pos]).
+    A flagged position p covers words [p, p+n-1], so two flagged
+    positions p < q belong to one range iff q <= p + n (their covered
+    word intervals overlap or touch) — the island merge therefore uses
+    gap tolerance n, not strict adjacency (two flagged grams at p and
+    p+2 with n=8 are ONE interval [p, p+9], never two overlapping
+    'maximal' ranges a consumer would double-mask).
 
     Gaps-and-islands relationally: lag(pos) over (doc_id ORDER BY pos)
-    marks run starts (prev != pos-1), a running SUM of the markers
+    marks run starts (prev < pos - n), a running SUM of the markers
     numbers the runs, one groupBy emits each run's extent. Both windows
     partition by doc_id — bounded per-document state, no global window;
     the heavy lifting (corpus-wide gram counting) already happened in
@@ -920,7 +924,7 @@ def duplicated_ranges(
         "doc_id",
         "pos",
         F.when(
-            F.lag("pos").over(w) == F.col("pos") - 1, F.lit(0)
+            F.lag("pos").over(w) >= F.col("pos") - n, F.lit(0)
         ).otherwise(F.lit(1)).alias("is_start"),
     ).select(
         "doc_id",
@@ -965,8 +969,10 @@ flagged AS (
   SELECT g.doc_id, g.pos FROM grams g JOIN counts c USING (gram)
 ),
 runs AS (
+  -- gap tolerance n (not strict adjacency): positions p < q cover
+  -- overlapping-or-touching word intervals iff q <= p + n
   SELECT doc_id, pos,
-         SUM(CASE WHEN prev = pos - 1 THEN 0 ELSE 1 END)
+         SUM(CASE WHEN prev >= pos - {DUP_NGRAM_N} THEN 0 ELSE 1 END)
            OVER (PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
   FROM (
@@ -981,4 +987,233 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_grams
 FROM runs
 GROUP BY doc_id, run_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-gram arm of the substring dedup (the 100-TB exchange shape)
+# ---------------------------------------------------------------------------
+
+
+def _flagged_grams_udf(n: int):
+    """Arrow-vectorized second pass of the hashed arm: given a document's
+    text and its flagged (pos, cnt) list, re-derive the gram STRING at
+    each flagged position. Runs only over docs that have flagged
+    positions, and only materializes the flagged grams — the corpus-wide
+    count aggregation never saw a string."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<pos: long, gram: string, cnt: long>>")
+    def flagged_grams(texts, flags):
+        out = []
+        for t, fl in zip(texts.tolist(), flags.tolist()):
+            if t is None or t != t or fl is None:
+                out.append(None)
+                continue
+            ws = t.split(" ")
+            out.append(
+                [
+                    {
+                        "pos": int(f["pos"]),
+                        "gram": " ".join(ws[int(f["pos"]): int(f["pos"]) + n]),
+                        "cnt": int(f["cnt"]),
+                    }
+                    for f in fl
+                ]
+            )
+        return pd.Series(out)
+
+    return flagged_grams
+
+
+def duplicated_ngram_spans_hashed(
+    docs: DataFrame, n: int = DUP_NGRAM_N, min_count: int = DUP_NGRAM_MIN_COUNT
+) -> DataFrame:
+    """duplicated_ngram_spans with the SCALE exchange shape the string
+    form's docstring names as future work (and SCALE.md prescribes for
+    100 TB): the corpus-wide count aggregation shuffles a 64-bit
+    xxhash64 of each gram instead of the ~8-word string — an ~8-byte key
+    per occurrence in the one exchange that touches every gram — and the
+    gram strings are re-derived afterwards ONLY for flagged positions,
+    from the source text riding a doc_id join (one row per doc, the
+    source table itself).
+
+    Result-identical to duplicated_ngram_spans (same string oracle)
+    absent a 64-bit xxhash collision between distinct grams — expected
+    collisions ~G^2/2^65 for G distinct grams, i.e. ~0.003 at G = 10^8;
+    a production pipeline that cannot tolerate that adds a verify join
+    on the flagged subset only.
+
+    Plan: Scan -> ArrowEval(gram hash) -> project(doc_id, pos, h) ->
+    hash-agg by h -> join -> narrow groupBy(doc_id) -> join docs ->
+    ArrowEval(re-derive strings) -> explode. The string column exists
+    only inside the first Python stage and the final output stage."""
+    hashed = track(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(_gram_spans_udf(n)("text")).alias("g"),
+        ).select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            # the 8-byte key that rides the corpus-wide exchange
+            F.xxhash64(F.col("g.gram")).alias("h"),
+        )
+    )
+    counts = (
+        hashed.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    flagged = hashed.join(counts, "h").select("doc_id", "pos", "cnt")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("pos", "cnt")).alias("flags")
+    )
+    joined = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).join(per_doc, "doc_id")
+    return joined.select(
+        "doc_id",
+        F.explode(_flagged_grams_udf(n)("text", "flags")).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
+        F.col("g.cnt").cast("long").alias("cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-n duplicated ranges (union of span lengths, interval-merged)
+# ---------------------------------------------------------------------------
+
+DUP_MULTI_NS = (8, 16)
+
+
+def duplicated_ranges_multi(
+    docs: DataFrame,
+    ns: tuple = DUP_MULTI_NS,
+    min_count: int = DUP_NGRAM_MIN_COUNT,
+) -> DataFrame:
+    """Maximal duplicated word-intervals from the UNION of several gram
+    lengths (the suffix-array-flavored form of Lee et al. 2022: a long
+    duplicated passage is caught by the long n even where the short n's
+    count dips under min_count, and vice versa). Each flagged position p
+    at length n contributes the interval [p, p+n-1]; intervals that
+    overlap or touch merge into one island.
+
+    Interval merge relationally (per-doc windows only — bounded state):
+    order intervals by (start, end), a running MAX(end) over preceding
+    rows detects island starts (start > prev_max_end + 1), a running SUM
+    numbers the islands, one groupBy emits each island's extent. Island
+    membership is invariant to tie order within equal starts (any two
+    equal-start intervals overlap), so the result is deterministic."""
+    parts = None
+    for n in ns:
+        f = duplicated_ngram_spans(docs, n=n, min_count=min_count).select(
+            "doc_id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + F.lit(int(n) - 1)).cast("long").alias("end"),
+        )
+        parts = f if parts is None else parts.unionByName(f)
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = parts.select(
+        "doc_id",
+        "start",
+        "end",
+        F.when(prev_max >= F.col("start") - 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("is_start"),
+    )
+    runs = marked.select(
+        "doc_id",
+        "start",
+        "end",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("start").cast("long").alias("start_pos"),
+            F.max("end").cast("long").alias("end_pos"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+        .select("doc_id", "start_pos", "end_pos", "n_spans")
+    )
+
+
+def _duck_flagged_spans(n: int, min_count: int) -> str:
+    """CTE chain (suffixed by n) computing flagged [start, end] intervals
+    for one gram length — mirrors duplicated_ngram_spans at that n."""
+    return f"""
+grams{n} AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         array_to_string(ws[i : i + {n} - 1], ' ') AS gram
+  FROM mwords,
+       unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - {n} + 2,
+                                1))) AS t(i)
+),
+counts{n} AS (
+  SELECT gram, COUNT(*) AS cnt FROM grams{n} GROUP BY gram
+  HAVING COUNT(*) >= {min_count}
+),
+spans{n} AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + {n} - 1 AS e
+  FROM grams{n} g JOIN counts{n} c USING (gram)
+)
+"""
+
+
+DUP_RANGES_MULTI_SQL = (
+    """
+WITH mwords AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents
+),
+"""
+    + ",\n".join(
+        _duck_flagged_spans(n, DUP_NGRAM_MIN_COUNT).strip() for n in DUP_MULTI_NS
+    )
+    + ",\n"
+    + f"""
+allspans AS (
+  {" UNION ALL ".join(f"SELECT doc_id, s, e FROM spans{n}" for n in DUP_MULTI_NS)}
+),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s - 1
+              THEN 0 ELSE 1 END AS is_start
+  FROM allspans
+),
+runs AS (
+  SELECT doc_id, s, e,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(s) AS BIGINT) AS start_pos,
+       CAST(MAX(e) AS BIGINT) AS end_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM runs
+GROUP BY doc_id, run_id
+"""
+)
+
+
+# 32- and 64-bit fingerprints in one labeled-union relation (the driver
+# gate simhash_fingerprints_variants; individual forms remain in
+# EXTRA_QUERIES for local parity and bench)
+SIMHASH_FP_VARIANTS_SQL = f"""
+WITH {_DUCK_SIMHASH_BASE.strip()},
+{_duck_simhash64_base('documents').strip()}
+SELECT doc_id, CAST(32 AS BIGINT) AS bits, simhash AS fp FROM fp
+UNION ALL
+SELECT doc_id, CAST(64 AS BIGINT) AS bits, simhash64 AS fp FROM fp64
 """

@@ -59,10 +59,34 @@ def _entry_module():
     return mod
 
 
+def test_registry_fits_driver_sweep_cap():
+    """The driver's correctness sweep records rows for at most the first
+    DRIVER_SWEEP_CAP registered queries (CORRECTNESS_r04 silently dropped
+    positions 50-51) — every driver-facing gate must fit under the cap
+    and carry an oracle, or it ships unverified."""
+    from gpt4ocontentextraction_spark.driver_contract import (
+        DRIVER_SWEEP_CAP,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert len(QUERIES) <= DRIVER_SWEEP_CAP
+    assert set(QUERIES) == set(ORACLES)
+
+
 def test_all_queries_match_oracles(spark, con):
     mod = _entry_module()
-    qs = mod.queries()
-    oracles = mod.oracle_sql()
+    qs = dict(mod.queries())
+    oracles = dict(mod.oracle_sql())
+    # the alternate-path callables outside the driver-facing registry
+    # (see DRIVER_SWEEP_CAP) get the same local parity sweep
+    from gpt4ocontentextraction_spark.driver_contract import (
+        EXTRA_ORACLES,
+        EXTRA_QUERIES,
+    )
+
+    qs.update(EXTRA_QUERIES)
+    oracles.update(EXTRA_ORACLES)
     assert qs, "no queries registered"
     failures = []
     for name, fn in sorted(qs.items()):
