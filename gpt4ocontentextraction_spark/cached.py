@@ -41,6 +41,41 @@ def track_broadcast(bc):
     return bc
 
 
+def mark() -> tuple[int, int]:
+    """Registry positions for a later release_since() — the
+    operator-scoped release: an iterative caller (the Lloyd loop) marks
+    before creating its per-iteration persists/broadcasts and releases
+    only the entries IT added, leaving a concurrently composing
+    operator's tracked state alone (a sweep-wide release_broadcasts()
+    inside a loop silently dropped every other operator's ~100 MB
+    broadcast, forcing lazy re-ships with no signal). Scopes nest
+    LIFO on the single driver thread; this module is not thread-safe."""
+    return (len(_TRACKED), len(_TRACKED_BC))
+
+
+def release_since(m: tuple[int, int]) -> int:
+    """Unpersist (never destroy) every relation and broadcast tracked
+    since ``m = mark()``; returns how many were released. Releasing is
+    always CORRECT (plans lazily recompute/re-ship), never wrong."""
+    n_df, n_bc = m
+    n = 0
+    for df in _TRACKED[n_df:]:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+        n += 1
+    del _TRACKED[n_df:]
+    for bc in _TRACKED_BC[n_bc:]:
+        try:
+            bc.unpersist(blocking=False)
+        except Exception:
+            pass
+        n += 1
+    del _TRACKED_BC[n_bc:]
+    return n
+
+
 def release_broadcasts() -> int:
     """UNPERSIST (not destroy) every tracked broadcast: executor copies
     are dropped, but a plan that still references the broadcast simply

@@ -126,7 +126,6 @@ def _pyscan_spans_dir(spark, sf_dir) -> str:
     user (and cross-user os.rename fails under sticky-bit /tmp), so the
     dir carries the username and, if it already exists, must be owned by
     this uid or the cache is rebuilt under a fresh name."""
-    import getpass
     import hashlib
     import tempfile
     import uuid
@@ -136,8 +135,17 @@ def _pyscan_spans_dir(spark, sf_dir) -> str:
     key = hashlib.sha1(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{SPANIFY_SQL}".encode()
     ).hexdigest()[:16]
+    try:
+        import getpass
+
+        user = getpass.getuser()
+    except Exception:
+        # minimal containers: the uid may have no passwd entry and no
+        # USER/LOGNAME env, where getuser() raises (KeyError/OSError) —
+        # the uid itself is an equally unique per-user cache-name scope
+        user = str(os.getuid())
     root = os.path.join(
-        tempfile.gettempdir(), f"pyscan_gate_{getpass.getuser()}_{key}"
+        tempfile.gettempdir(), f"pyscan_gate_{user}_{key}"
     )
     try:
         foreign = os.path.isdir(root) and os.stat(root).st_uid != os.getuid()

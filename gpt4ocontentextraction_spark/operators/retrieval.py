@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..cached import release_broadcasts, track
+from ..cached import mark as _mark
+from ..cached import release_since as _release_since
+from ..cached import track
 
 TOP_K = 10
 IVF_K = 8  # coarse centroids
@@ -556,6 +558,7 @@ def ivf_kmeans_topk(
         .collect()
     ]
     for _ in range(iters):
+        scope = _mark()
         bucket = _assign_bucket(F.col("v"), cent_list, "double")
         new_rows = (
             emb.select(bucket.alias("cid"), F.posexplode("v").alias("pos", "x"))
@@ -579,8 +582,11 @@ def ivf_kmeans_topk(
         # this iteration's assignment (and, at large K, its tracked
         # centroid broadcast) is fully consumed by the collect above —
         # drop executor copies now so iters x ~100 MB never accumulates
-        # within one query (unpersist, not destroy: re-ships if reused)
-        release_broadcasts()
+        # within one query (unpersist, not destroy: re-ships if reused).
+        # Scoped to THIS iteration's entries (mark/release_since): a
+        # sweep-wide release here would drop a concurrently composing
+        # operator's tracked persists mid-flight (ADVICE r4 #3).
+        _release_since(scope)
     bucket = _assign_bucket(F.col("v"), cent_list, "double")
     qv_rows = emb.filter(F.col("vec_id") == query_id).collect()
     if not qv_rows:

@@ -48,3 +48,21 @@ def test_gate_wrapper_releases_previous_query(spark):
     assert n_persistent(spark) == 0
     df.count()
     release_all()
+
+
+def test_release_since_is_scoped(spark):
+    """ADVICE r4 #3: an iterative operator (the Lloyd loop) must be able
+    to release ITS OWN per-iteration entries without dropping another
+    operator's tracked persists — mark()/release_since() scope the
+    release to entries added after the mark."""
+    from gpt4ocontentextraction_spark import cached
+
+    cached.release_all()
+    outer = cached.track(spark.range(10).toDF("x"))
+    outer.count()
+    m = cached.mark()
+    inner = cached.track(spark.range(5).toDF("y"))
+    inner.count()
+    assert cached.release_since(m) == 1  # released ONLY the inner entry
+    assert outer.storageLevel.useMemory  # outer persist still in force
+    assert cached.release_all() == 1  # outer was still tracked

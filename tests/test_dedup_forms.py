@@ -137,3 +137,75 @@ def test_duplicated_ranges_merges_runs(spark):
         (2, 0, 8, 2),
         (3, 0, 7, 1),
     ]
+
+
+def test_duplicated_ranges_gap_tolerant_merge(spark):
+    """ADVICE r4 #2: flagged positions p and p+2 (gap < n) cover
+    overlapping word intervals and must merge into ONE maximal range —
+    not two overlapping 'maximal' ranges a consumer would double-mask.
+    doc 1 has grams at pos 0 and pos 2 repeated (pos 1's gram is broken
+    in the partner doc), so the old strict-adjacency merge would emit
+    [0,7] and [2,9]; the gap-tolerant merge emits [0,9]."""
+    w = [f"w{i}" for i in range(10)]
+    doc1 = " ".join(w)  # grams at pos 0,1,2
+    # partner: contains gram(pos0)=w0..w7 and gram(pos2)=w2..w9 but NOT
+    # gram(pos1)=w1..w8 (the X breaks it)
+    doc2 = " ".join(w[0:8] + ["X"] + w[2:10])
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    flagged = sorted(
+        (r["doc_id"], r["pos"])
+        for r in dedup.duplicated_ngram_spans(docs, n=8, min_count=2).collect()
+    )
+    assert flagged == [(1, 0), (1, 2), (2, 0), (2, 9)]
+    rows = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_grams"])
+        for r in dedup.duplicated_ranges(docs, n=8, min_count=2).collect()
+    )
+    # doc 1: ONE range [0, 9] from positions {0, 2}; doc 2: pos 0 and
+    # pos 9 are 9 > n=8 apart -> two ranges
+    assert rows == [(1, 0, 9, 2), (2, 0, 7, 1), (2, 9, 16, 1)]
+
+
+def test_hashed_gram_arm_matches_string_form_and_narrows_exchange(spark):
+    """The hashed arm must be row-identical to the string form, and its
+    corpus-wide aggregation exchange must partition on the 64-bit gram
+    hash (h), with the hash computed JVM-side (xxhash64) before any
+    exchange — the string never rides the big shuffle."""
+    from gpt4ocontentextraction_spark.plans.inspect import physical_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(
+        tuple(r) for r in dedup.duplicated_ngram_spans(docs).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.duplicated_ngram_spans_hashed(docs).collect()
+    )
+    assert a == b and len(a) > 0
+    p = physical_plan(dedup.duplicated_ngram_spans_hashed(docs))
+    assert "xxhash64" in p
+    assert "hashpartitioning(h#" in p
+
+
+def test_duplicated_ranges_multi_unions_lengths(spark):
+    """Multi-n merge: a long duplicated passage caught by n=16 extends
+    the interval beyond what n=8 alone flags when the 8-gram count dips
+    under min_count in part of the span... constructed simply: the n=8
+    and n=16 flagged intervals union and overlapping intervals merge."""
+    w = [f"w{i}" for i in range(20)]
+    long_shared = " ".join(w)  # 20 words: 16-grams at pos 0..4
+    docs = spark.createDataFrame(
+        [(1, long_shared + " u1"), (2, long_shared + " u2")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"])
+        for r in dedup.duplicated_ranges_multi(
+            docs, ns=(8, 16), min_count=2
+        ).collect()
+    )
+    # every 8- and 16-gram inside words 0..19 repeats across the docs ->
+    # one maximal interval [0, 19] per doc
+    assert rows == [(1, 0, 19), (2, 0, 19)]

@@ -110,3 +110,73 @@ def test_large_k_assignment_udf_path(spark):
     p = physical_plan(df_udf)
     assert "ArrowEvalPython" in p
     assert "Exchange" not in p and "Window" not in p and "Join" not in p
+
+
+def test_large_k_natural_dispatch_end_to_end(spark):
+    """VERDICT r4 item 7: exercise the large-K arm END-TO-END at a K
+    where the DEFAULT dispatch (no forced budget) exceeds the literal
+    budget — K=1600 x 64-dim = 102,400 literals > 100,000 — so
+    _assign_bucket routes to the broadcast-matrix pandas argmax on its
+    own. Asserts the full bucket-restricted top-k runs, the plan before
+    assignment is a pure projection (ArrowEvalPython, zero
+    Exchange/Join/Window), and the tracked centroid broadcast is
+    actually held and then released (cache hygiene extends to the
+    large-K arm)."""
+    from pyspark.sql import functions as F
+
+    from gpt4ocontentextraction_spark import cached
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        IVF_LITERAL_BUDGET,
+        _assign_bucket,
+        _cos_col,
+        _emb,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import physical_plan
+
+    sf01 = "/root/testdata/sf0.1"
+    emb = _emb(spark, sf01)
+    K = 1600
+    cent_list = [
+        (r["cid"], [float(x) for x in r["cv"]])
+        for r in emb.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .collect()
+    ]
+    assert len(cent_list) == K
+    assert sum(len(cv) for _, cv in cent_list) > IVF_LITERAL_BUDGET
+    cached.release_all()  # isolate this query's tracked entries
+
+    bucket = _assign_bucket(F.col("embedding"), cent_list, "float")
+    assigned = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        bucket.cast("long").alias("bucket"),
+    )
+    p = physical_plan(assigned)
+    assert "ArrowEvalPython" in p  # the pandas arm, chosen by dispatch
+    assert "Exchange" not in p and "Window" not in p and "Join" not in p
+
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(bucket.alias("qbucket"), "embedding")
+        .collect()[0]
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qrow["embedding"]]).cast(
+        "array<float>"
+    )
+    top = (
+        emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            bucket.cast("long").alias("bucket"),
+            F.round(_cos_col(F.col("embedding"), qv), 6).alias("sim"),
+        )
+        .filter(F.col("bucket") == int(qrow["qbucket"]))
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert len(top) >= 1
+    assert top[0]["vec_id"] == 0 and top[0]["sim"] == 1.0
+    # the dispatch created >= 1 tracked broadcast per _assign_bucket
+    # call; release_all must find and release them, leaving nothing
+    assert cached.release_all() >= 1
+    assert cached.n_persistent(spark) == 0
