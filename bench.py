@@ -80,6 +80,8 @@ HEADLINE = (
     "page_markers",
     "resume_pending",
     "minhash_lsh",
+    "dup_ngram_spans",
+    "dup_ngram_spans_hashed",
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",
@@ -781,14 +783,42 @@ def write_baseline_md(payload: dict) -> None:
         "pretouch, lazy heap pages become host-level faults and the 32-core",
         "run collapses ~6x (measured).",
         "",
-        "bm25_topk attribution (r3 question): ~0.73 s at sf0.1 across",
-        "rounds is the Arrow pandas-UDF tf-counter's fixed per-query",
-        "cost (python worker spin-up/reuse + one text-column Arrow round",
-        "trip) on a 2k-doc corpus; the r2 0.43 s figure was the",
-        "interpreted-HOF counter, cheaper below ~10k docs and",
-        "asymptotically far slower (it was replaced because tf counting",
-        "dominated bm25/hybrid). hybrid_topk, which runs the same counter",
-        "once persisted, sits at ~0.5 s.",
+        "bm25/hybrid attribution (r4 finding #2, measured r5 at sf0.1,",
+        "5000 docs / 2000 embeddings): the r3 hybrid 0.5 s was subsidized",
+        "by bm25's leaked persist; the r4 honest 4.6 s was JOB COUNT, not",
+        "arithmetic — the Python tf counting is ~50 ms for the whole",
+        "corpus (probe below), while the query ran 3-7 driver jobs each",
+        "re-planning the prefix cuts, plus the tf UDF TWICE (the stats",
+        "aggregate and the scoring projection shared an unpersisted",
+        "subtree). r5 restructure: per_doc persisted (UDF once), ONE",
+        "collect action for both side-tagged score prefixes with",
+        "driver-side exact ranking, a closed-form n_cand jump replacing",
+        "log2 re-planning, and the order-statistic resolution collapsed",
+        "to one union action (it fires on EVERY sf0.1 call: embeddings",
+        "are a strict subset of docs, the prefix intersection is thin,",
+        "~26 one-sided docs survive the ub filter). Result: hybrid 4.6 ->",
+        "~1.7 s (phases: candidates action ~1.0 s of which bm25 UDF leg",
+        "~0.6 and cosine UDF ~0.3, resolution ~0.4 s, query-vector fetch",
+        "~0.1 s); bm25_topk 1.1 -> ~0.5 s; cosine_topk 0.68 -> ~0.45 s.",
+        "The residual is per-action scheduling on this box (5-stage AQE",
+        "DAG ~1 s even warm), not a scale-shape problem.",
+        "",
+        "Tokenizer vectorization probe (r4 item 8, NEGATIVE result kept",
+        "by design): pyarrow.compute.split_pattern + flatten +",
+        "np.bincount-by-parent vs the per-row str.split/ws.count loop on",
+        "the real sf0.1 text column: 27-33 ms vs 48-51 ms (1.5-1.9x) —",
+        "but the whole tf stage is ~50 ms of a ~600 ms UDF leg; the",
+        "overhead is Arrow IPC + worker roundtrip + scheduling, so the",
+        "rewrite would buy <30 ms per query and was not adopted.",
+        "",
+        "Cosine arithmetic note (r5): the `aggregate(zip_with(...))` HOF",
+        "fold over raw FLOAT arrays differs from the DuckDB oracle's",
+        "cast-to-double arithmetic in the last ulp on EVERY row (max",
+        "1.1e-8 at sf0.1) — it survived four rounds of gates only because",
+        "round-6 rarely lands on a boundary. cosine_topk and hybrid now",
+        "score via the Arrow pair-cosine UDF over double-cast vectors:",
+        "bit-identical to the oracle on all 2000 vectors AND ~0.5 s",
+        "faster (Catalyst runs HOF lambdas interpreted).",
         "",
         "Comparing paths: a pipeline with HIGHER absolute throughput at",
         "both levels can still show a LOWER efficiency ratio — by using",

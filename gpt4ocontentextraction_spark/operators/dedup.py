@@ -848,10 +848,11 @@ def duplicated_ngram_spans(
     Scale shape: one Arrow-batched gram pass over the docs (no window,
     no pre-shuffle), one hash aggregation shuffled by gram, one join of
     the gram occurrences against the duplicated-gram counts (AQE picks
-    broadcast when the duplicated set is small). At 100 TB you shuffle a
-    64-bit gram hash instead of the string and re-read the strings only
-    for the (rare) verify — same plan, narrower exchange; the string
-    form IS the spec and the oracle."""
+    broadcast when the duplicated set is small). The 100-TB form —
+    shuffle a 64-bit gram hash instead of the string, re-derive strings
+    only for flagged positions — is duplicated_ngram_spans_hashed
+    (gate-proven row-identical); the string form here IS the spec and
+    the oracle."""
     # consumed twice (the count aggregation and the join probe side):
     # track-persisted or the Arrow gram extraction would run over the
     # corpus once per reference — the same double-evaluation trap the
