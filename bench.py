@@ -803,6 +803,16 @@ def write_baseline_md(payload: dict) -> None:
         "The residual is per-action scheduling on this box (5-stage AQE",
         "DAG ~1 s even warm), not a scale-shape problem.",
         "",
+        "simhash64_pairs_banded attribution (r4 finding #3, measured r5",
+        "in a load-0.2 window): steady-state is ~2.6 s at sf0.1 — r3's",
+        "2.50 s was the true number and r4's 4.82 s was window noise.",
+        "The double-evaluation hypothesis (self-join legs racing the",
+        "lazily-persisted fingerprint subtree) was tested directly:",
+        "pre-materializing fp with count() before the self-join leaves",
+        "the warm total unchanged (2.63 vs 2.68 s), so no extra job was",
+        "added. cosine_topk's r4 0.68 s likewise re-measured ~0.50 s",
+        "after the Arrow pair-UDF switch.",
+        "",
         "Tokenizer vectorization probe (r4 item 8, NEGATIVE result kept",
         "by design): pyarrow.compute.split_pattern + flatten +",
         "np.bincount-by-parent vs the per-row str.split/ws.count loop on",

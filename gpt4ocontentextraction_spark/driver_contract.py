@@ -1171,16 +1171,27 @@ _GATE_ORDER = [
 
 
 def _finalize_registry() -> None:
+    # plain raises, not asserts: under `python -O` a failed assert would
+    # vanish and the ordered rebuild below would SILENTLY drop any gate
+    # missing from _GATE_ORDER — the exact unverified-gate mode the cap
+    # machinery exists to prevent
     missing = [n for n in _GATE_ORDER if n not in QUERIES]
+    if missing:
+        raise ValueError(f"_GATE_ORDER names unregistered gates: {missing}")
     extra = [n for n in QUERIES if n not in _GATE_ORDER]
-    assert not missing, f"_GATE_ORDER names unregistered gates: {missing}"
-    assert not extra, f"registered gates missing from _GATE_ORDER: {extra}"
-    assert len(_GATE_ORDER) <= DRIVER_SWEEP_CAP, (
-        f"{len(_GATE_ORDER)} gates exceed the driver's {DRIVER_SWEEP_CAP}-row"
-        " sweep cap — fold alternate paths into a labeled-union gate"
-    )
+    if extra:
+        raise ValueError(
+            f"registered gates missing from _GATE_ORDER: {extra}"
+        )
+    if len(_GATE_ORDER) > DRIVER_SWEEP_CAP:
+        raise ValueError(
+            f"{len(_GATE_ORDER)} gates exceed the driver's"
+            f" {DRIVER_SWEEP_CAP}-row sweep cap — fold alternate paths"
+            " into a labeled-union gate"
+        )
     no_oracle = [n for n in QUERIES if n not in ORACLES]
-    assert not no_oracle, f"gates without oracles: {no_oracle}"
+    if no_oracle:
+        raise ValueError(f"gates without oracles: {no_oracle}")
     ordered = {n: QUERIES[n] for n in _GATE_ORDER}
     QUERIES.clear()
     QUERIES.update(ordered)

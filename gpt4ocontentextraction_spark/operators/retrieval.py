@@ -15,7 +15,7 @@ is a sequential IEEE-double fold — bit-identical to the DuckDB oracle's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cached import mark as _mark
@@ -71,14 +71,17 @@ def cosine_topk(spark, sf_dir, query_id: int = 0, k: int = TOP_K) -> DataFrame:
     )
     if not qrows:
         return spark.createDataFrame([], "vec_id long, sim double")
-    qlit = F.array(*[F.lit(float(x)) for x in qrows[0][0]]).cast(
-        "array<double>"
-    )
-    vd = F.expr("transform(embedding, x -> cast(x as double))")
-    scored = emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.round(_cos_pairs_udf()(vd, qlit), 6).alias("sim"),
-    )
+    if qrows[0][0] is None:
+        # NULL query vector: every sim is NULL (the expression form's
+        # semantics), ranking falls through to (nulls last, vec_id asc)
+        sim = F.lit(None).cast("double").alias("sim")
+    else:
+        qlit = F.array(*[F.lit(float(x)) for x in qrows[0][0]]).cast(
+            "array<double>"
+        )
+        vd = F.expr("transform(embedding, x -> cast(x as double))")
+        sim = F.round(_cos_pairs_udf()(vd, qlit), 6).alias("sim")
+    scored = emb.select(F.col("vec_id").cast("long").alias("vec_id"), sim)
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
 
 
@@ -122,18 +125,43 @@ def _cos_pairs_udf():
     def cos_pairs(va, vb):
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack(va.to_numpy()).astype(np.float64, copy=False)
-        B = np.stack(vb.to_numpy()).astype(np.float64, copy=False)
-        n, dim = A.shape
-        dot = np.zeros(n)
-        na = np.zeros(n)
-        nb = np.zeros(n)
-        for i in range(dim):  # sequential over dims = the fold order
-            x, y = A[:, i], B[:, i]
-            dot += x * y
-            na += x * x
-            nb += y * y
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        avals = va.tolist()
+        bvals = vb.tolist()
+        # NULL/ragged rows yield NULL sim (sorting last under DESC, like
+        # the aggregate(zip_with(...)) expression this replaces) instead
+        # of crashing np.stack — same guard as _argmax_bucket_pandas.
+        dims = {len(v) for v in avals if v is not None} | {
+            len(v) for v in bvals if v is not None
+        }
+        dim = max(dims) if dims else 0
+        ok = [
+            a is not None and b is not None and len(a) == dim and len(b) == dim
+            for a, b in zip(avals, bvals)
+        ]
+        out = [None] * len(avals)
+        if any(ok):
+            A = np.array(
+                [avals[i] for i, g in enumerate(ok) if g], dtype=np.float64
+            )
+            B = np.array(
+                [bvals[i] for i, g in enumerate(ok) if g], dtype=np.float64
+            )
+            n = A.shape[0]
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(dim):  # sequential over dims = the fold order
+                x, y = A[:, i], B[:, i]
+                dot += x * y
+                na += x * x
+                nb += y * y
+            sims = dot / (np.sqrt(na) * np.sqrt(nb))
+            j = 0
+            for i, g in enumerate(ok):
+                if g:
+                    out[i] = float(sims[j])
+                    j += 1
+        return pd.Series(out, dtype="object")
 
     return cos_pairs
 
@@ -972,29 +1000,6 @@ def _sql_round6(x: float) -> float:
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
-def _prefix_ranked(scored: DataFrame, score_col: str, rank_col: str, n: int) -> DataFrame:
-    """Exact global top-n of (score desc, doc_id asc) with each row's
-    GLOBAL rank. The cut is ``orderBy(...).limit(n)`` — Spark plans it as
-    TakeOrderedAndProject (per-partition top-n, then a merge of n-row
-    heaps): fully parallel, never a global sort. Ranks are then assigned
-    inside the <= n-row result with a window partitioned by a constant:
-    its single partition holds at most n rows REGARDLESS of corpus size
-    (the bound comes from the limit, not the data), so this is not the
-    unpartitioned-window-over-the-corpus shape — and rank within a prefix
-    of the global order equals global rank. The partition key is the
-    constant-valued ``pmod(doc_id, 1)`` rather than a literal because
-    Catalyst folds literal partition keys away, reintroducing the empty
-    partition spec (and its single-partition warning) this shape exists
-    to avoid."""
-    top = scored.orderBy(F.desc(score_col), F.asc("doc_id")).limit(n)
-    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
-        F.desc(score_col), F.asc("doc_id")
-    )
-    return top.select(
-        "doc_id", score_col, F.row_number().over(w).cast("long").alias(rank_col)
-    )
-
-
 def _min_ncand_excluding(theta0: float, lo: int) -> int:
     """Smallest n > lo with round6(2/(61+n)) < theta0 — the closed-form
     jump that replaces log2 re-planning when the rounded-tie guard fails
@@ -1003,7 +1008,12 @@ def _min_ncand_excluding(theta0: float, lo: int) -> int:
     the guard on the next (final) iteration."""
     import math
 
-    n = max(lo + 1, int(math.ceil(2.0 / max(theta0, 1e-12))) - RRF_K - 1)
+    if theta0 <= 0.0:
+        # round6 of a positive bound is always >= 0, so no finite n can
+        # satisfy the guard — fall back to plain doubling; the caller's
+        # exhaustion detection terminates the loop at full enumeration
+        return lo * 2
+    n = max(lo + 1, int(math.ceil(2.0 / theta0)) - RRF_K - 1)
     while _sql_round6(2.0 / (RRF_K + 1.0 + n)) >= theta0:
         n *= 2
     return n
@@ -1076,25 +1086,28 @@ def hybrid_rrf_topk(
         return spark.createDataFrame(
             [], "doc_id long, r_bm25 long, r_cos long, rrf double"
         )
-    qlit = F.array(*[F.lit(float(x)) for x in qrows[0][0]]).cast(
-        "array<double>"
-    )
+    if qrows[0][0] is None:
+        # NULL query vector: every sim is NULL; ranking degrades to
+        # (nulls last => doc_id asc), which the null-safe driver sort
+        # below reproduces exactly
+        sim_col = F.lit(None).cast("double").alias("sim")
+    else:
+        qlit = F.array(*[F.lit(float(x)) for x in qrows[0][0]]).cast(
+            "array<double>"
+        )
+        # Cosine scoring is the double-cast Arrow pair-UDF with the
+        # query inlined — see the cosine_topk docstring: bit-identical
+        # to the oracle (the float HOF fold is not) and ~0.5 s faster.
+        sim_col = _cos_pairs_udf()(
+            F.expr("transform(embedding, x -> cast(x as double))"), qlit
+        ).alias("sim")
     # both scored relations are consumed per doubling iteration and by
     # the (rare) order-statistic resolution; persisted ONCE for the
-    # whole loop and released in the finally block. Cosine scoring is
-    # the double-cast Arrow pair-UDF with the query inlined — see the
-    # cosine_topk docstring: bit-identical to the oracle (the float HOF
-    # fold is not) and ~0.5 s faster at sf0.1.
+    # whole loop and released in the finally block.
     bm = _bm25_scores(docs).persist()
-    cos = (
-        emb.select(
-            F.col("vec_id").cast("long").alias("doc_id"),
-            _cos_pairs_udf()(
-                F.expr("transform(embedding, x -> cast(x as double))"), qlit
-            ).alias("sim"),
-        )
-        .persist()
-    )
+    cos = emb.select(
+        F.col("vec_id").cast("long").alias("doc_id"), sim_col
+    ).persist()
 
     def _local(rows) -> DataFrame:
         return spark.createDataFrame(
@@ -1119,14 +1132,18 @@ def hybrid_rrf_topk(
                         F.col("sim").alias("score"))
             )
             rows = top_b.unionByName(top_c).collect()  # <= 2 * n_cand
-            bs = sorted(
-                (r for r in rows if r["side"] == "b"),
-                key=lambda r: (-r["score"], r["doc_id"]),
-            )
-            cs = sorted(
-                (r for r in rows if r["side"] == "c"),
-                key=lambda r: (-r["score"], r["doc_id"]),
-            )
+
+            def _skey(r):
+                # (score desc NULLS LAST, doc_id asc) — both engines'
+                # DESC default; NULL scores (null-text docs) reach the
+                # collected prefix whenever the corpus <= n_cand
+                s = r["score"]
+                if s is None:
+                    return (1, 0.0, r["doc_id"])
+                return (0, -s, r["doc_id"])
+
+            bs = sorted((r for r in rows if r["side"] == "b"), key=_skey)
+            cs = sorted((r for r in rows if r["side"] == "c"), key=_skey)
             rb = {r["doc_id"]: i + 1 for i, r in enumerate(bs)}
             rc = {r["doc_id"]: i + 1 for i, r in enumerate(cs)}
             exhausted_b = len(bs) < n_cand
@@ -1215,15 +1232,28 @@ def hybrid_rrf_topk(
                 .alias("nd")
             )
             full = side.alias("full")
-            better = (
-                full.join(
-                    F.broadcast(nd),
-                    (F.col("full.sim") > F.col("nd.s"))
+            # (sim desc NULLS LAST, doc_id asc): any non-null row beats a
+            # null-scored needy doc; among equal (incl. both-null) rows
+            # the smaller doc_id ranks first — without the null arms, a
+            # null-scored needy doc's every comparison is NULL and it
+            # would resolve to rank 1 instead of last
+            beats = (
+                F.col("full.sim").isNotNull()
+                & (
+                    F.col("nd.s").isNull()
+                    | (F.col("full.sim") > F.col("nd.s"))
                     | (
                         (F.col("full.sim") == F.col("nd.s"))
                         & (F.col("full.doc_id") < F.col("nd.d"))
-                    ),
+                    )
                 )
+            ) | (
+                F.col("full.sim").isNull()
+                & F.col("nd.s").isNull()
+                & (F.col("full.doc_id") < F.col("nd.d"))
+            )
+            better = (
+                full.join(F.broadcast(nd), beats)
                 .groupBy("nd.d")
                 .agg(F.count("*").alias("n_better"))
             )

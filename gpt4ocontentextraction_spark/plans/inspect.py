@@ -62,7 +62,8 @@ def assert_no_unpartitioned_window(df: DataFrame) -> None:
     moves the ENTIRE input through one partition (Spark's own
     'WindowExec: No Partition Defined' warning) and serializes at scale.
     Windows over bounded inputs must use a constant-valued partition key
-    (see operators/retrieval.py::_prefix_ranked)."""
+    (or avoid the window entirely — hybrid_rrf_topk cuts bounded
+    prefixes with orderBy().limit() and ranks them driver-side)."""
     plan = physical_plan(df)
     for start in _find_all(plan, "windowspecdefinition("):
         args = plan[start + len("windowspecdefinition("):]

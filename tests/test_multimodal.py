@@ -21,7 +21,11 @@ def extracted(spark):
 
 @pytest.fixture(scope="module")
 def media(spark, extracted):
-    return mm.synthesize_media_table(spark, extracted).cache()
+    df = mm.synthesize_media_table(spark, extracted).cache()
+    yield df
+    # the session is shared across test modules: an un-released module
+    # cache leaks into later modules' session-hygiene assertions
+    df.unpersist(blocking=False)
 
 
 def test_media_table_schema_and_blobs(media):

@@ -88,8 +88,14 @@ def test_all_queries_match_oracles(spark, con):
     qs.update(EXTRA_QUERIES)
     oracles.update(EXTRA_ORACLES)
     assert qs, "no queries registered"
+    from gpt4ocontentextraction_spark.cached import release_all
+
     failures = []
     for name, fn in sorted(qs.items()):
+        # EXTRA_QUERIES are unwrapped (mod.queries() entries release the
+        # previous query's persists themselves); keep the sweep at the
+        # documented <= one query's persists either way
+        release_all()
         df = fn(spark, SF_DIR)
         spark_cols = df.columns
         spark_rows = [tuple(r) for r in df.collect()]

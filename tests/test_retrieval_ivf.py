@@ -145,6 +145,9 @@ def test_large_k_natural_dispatch_end_to_end(spark):
     assert len(cent_list) == K
     assert sum(len(cv) for _, cv in cent_list) > IVF_LITERAL_BUDGET
     cached.release_all()  # isolate this query's tracked entries
+    # baseline persists this test does NOT own (another module's fixture
+    # cache in the shared session) — assert against the delta, not zero
+    n0 = cached.n_persistent(spark)
 
     bucket = _assign_bucket(F.col("embedding"), cent_list, "float")
     assigned = emb.select(
@@ -179,4 +182,4 @@ def test_large_k_natural_dispatch_end_to_end(spark):
     # the dispatch created >= 1 tracked broadcast per _assign_bucket
     # call; release_all must find and release them, leaving nothing
     assert cached.release_all() >= 1
-    assert cached.n_persistent(spark) == 0
+    assert cached.n_persistent(spark) <= n0  # this test left nothing
