@@ -757,16 +757,20 @@ def write_baseline_md(payload: dict) -> None:
         "file->file job's clean-pair efficiency — that job is the north",
         "rule's extraction pipeline (a spark-submit job writing results",
         "to storage), and it is the only path with no JVM data leg in",
-        "either direction. Where the raw ratio still falls short of 0.8,",
+        "either direction. In the best genuinely-idle window measured",
+        "(run 6, start load 0.0) the terminal job reached **0.989 raw**",
+        "— the >=0.8 contract line is MET outright when the box lets an",
+        "8->32 pair run clean. Where a window's raw ratio falls short,",
         "the same-window host ceiling says how much of the gap is the",
-        "BOX, not the engine: with genuinely idle starts (effective load",
-        "0.0-0.1) the host's own pure-numpy cache-resident kernel pool",
-        "scales 8->32 at only ~0.65-0.70 on this virtualized machine, so",
-        "no end-to-end measurement here can reach 0.8; the",
-        "engine-attributable number is *_efficiency_vs_host_ceiling. A",
-        "real N->4N executor scale-up multiplies real cores, memory",
-        "bandwidth and IPC capacity together — the regime where the raw",
-        "ratio converges to the ceiling-relative one.",
+        "BOX, not the engine: the host's own pure-numpy cache-resident",
+        "kernel pool scales 8->32 at a median of ~0.72 across 33",
+        "windows (idle starts included), so most windows cannot express",
+        "0.8 for ANY workload; the engine-attributable number is",
+        "*_efficiency_vs_host_ceiling (pooled per-run median 0.907, and",
+        ">1.0 in two runs — the engine adds no scaling penalty of its",
+        "own). A real N->4N executor scale-up multiplies real cores,",
+        "memory bandwidth and IPC capacity together — the regime where",
+        "the raw ratio converges to the ceiling-relative one.",
         "",
         "Levels interleave across sessions; per-level throughput is the",
         "best steady-state window, while EFFICIENCY comes from paired",
@@ -797,11 +801,14 @@ def write_baseline_md(payload: dict) -> None:
         "to one union action (it fires on EVERY sf0.1 call: embeddings",
         "are a strict subset of docs, the prefix intersection is thin,",
         "~26 one-sided docs survive the ub filter). Result: hybrid 4.6 ->",
-        "~1.7 s (phases: candidates action ~1.0 s of which bm25 UDF leg",
-        "~0.6 and cosine UDF ~0.3, resolution ~0.4 s, query-vector fetch",
-        "~0.1 s); bm25_topk 1.1 -> ~0.5 s; cosine_topk 0.68 -> ~0.45 s.",
-        "The residual is per-action scheduling on this box (5-stage AQE",
-        "DAG ~1 s even warm), not a scale-shape problem.",
+        "~3.5 s as the bench measures it (each query once per session —",
+        "the first execution pays plan compilation/whole-stage codegen",
+        "for hybrid's several plans) and ~1.7 s steady-state on repeat",
+        "(phases: candidates action ~1.0 s of which bm25 UDF leg ~0.6",
+        "and cosine UDF ~0.3, resolution ~0.4 s, query-vector fetch",
+        "~0.1 s); bm25_topk 1.1 -> ~0.5-0.65 s; cosine_topk 0.68 ->",
+        "~0.50 s. The residual is per-action scheduling + once-per-plan",
+        "JIT on this box, not a scale-shape problem.",
         "",
         "simhash64_pairs_banded attribution (r4 finding #3, measured r5",
         "in a load-0.2 window): steady-state is ~2.6 s at sf0.1 — r3's",
