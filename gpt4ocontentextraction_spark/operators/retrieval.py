@@ -287,19 +287,28 @@ def ivf_topk(spark, sf_dir, query_id: int = 0, k: int = 5) -> DataFrame:
     like the k-means centroid loop) and inlined as a literal — the plan
     is Scan -> Project -> Filter -> TakeOrdered with ZERO exchanges,
     instead of the former crossJoin x K + per-vec_id row_number window
-    (an avoidable K-fold inflation plus full shuffle)."""
-    emb = _emb(spark, sf_dir)
+    (an avoidable K-fold inflation plus full shuffle).
+
+    All cosine arithmetic runs over DOUBLE-cast vectors: the float-array
+    fold differs from the DuckDB oracle's cast-to-double arithmetic in
+    the last ulp (measured on every sf0.1 row — see cosine_topk), which
+    could flip a bucket assignment or a rounded sim on a near-tie; the
+    double-cast fold is bit-identical to the oracle."""
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
     cent_list = [
         (r["cid"], list(r["cv"]))
         for r in emb.filter(F.col("vec_id") < IVF_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         .collect()
     ]
-    bucket = _assign_bucket(F.col("embedding"), cent_list, "float")
+    bucket = _assign_bucket(F.col("v"), cent_list, "double")
     # the query's bucket + vector, via the SAME expression on one row
     qrows = (
         emb.filter(F.col("vec_id") == query_id)
-        .select(bucket.alias("qbucket"), "embedding")
+        .select(bucket.alias("qbucket"), "v")
         .collect()
     )
     if not qrows:
@@ -308,14 +317,14 @@ def ivf_topk(spark, sf_dir, query_id: int = 0, k: int = 5) -> DataFrame:
             [], "vec_id long, bucket long, sim double"
         )
     qrow = qrows[0]
-    qv = F.array(*[F.lit(float(x)) for x in qrow["embedding"]]).cast(
-        "array<float>"
+    qv = F.array(*[F.lit(float(x)) for x in qrow["v"]]).cast(
+        "array<double>"
     )
     return (
         emb.select(
-            F.col("vec_id").cast("long").alias("vec_id"),
+            "vec_id",
             bucket.cast("long").alias("bucket"),
-            F.round(_cos_col(F.col("embedding"), qv), 6).alias("sim"),
+            F.round(_cos_col(F.col("v"), qv), 6).alias("sim"),
         )
         .filter(F.col("bucket") == int(qrow["qbucket"]))
         .orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -948,21 +957,26 @@ def rerank_topk(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(n_candidates)
     )
-    emb = _emb(spark, sf_dir)
+    # double-cast vectors: the float-array fold is off the oracle's
+    # cast-to-double arithmetic by an ulp on every row (see cosine_topk)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
     q = emb.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("qv")
+        F.col("v").alias("qv")
     )
     reranked = (
         F.broadcast(cands)
         .join(
-            emb.select(F.col("vec_id").cast("long").alias("doc_id"), "embedding"),
+            emb.select(F.col("vec_id").cast("long").alias("doc_id"), "v"),
             "doc_id",
         )
         .crossJoin(F.broadcast(q))
         .select(
             "doc_id",
             "bm25",
-            F.round(F.expr(_cos("embedding", "qv")), 6).alias("sim"),
+            F.round(F.expr(_cos("v", "qv")), 6).alias("sim"),
         )
     )
     return reranked.orderBy(F.desc("sim"), F.asc("doc_id")).limit(k)
