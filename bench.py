@@ -80,6 +80,7 @@ HEADLINE = (
     "page_markers",
     "resume_pending",
     "minhash_lsh",
+    "dedup_clusters",
     "dup_ngram_spans",
     "dup_ngram_spans_hashed",
     "simhash_pairs_banded",

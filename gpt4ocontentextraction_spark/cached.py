@@ -76,6 +76,22 @@ def release_since(m: tuple[int, int]) -> int:
     return n
 
 
+def release_entry(obj) -> bool:
+    """Release ONE tracked relation or broadcast — the other
+    iterative-operator shape (label propagation): drop the previous
+    iteration's persist specifically, leaving every other tracked entry
+    (including this iteration's) in place."""
+    for reg in (_TRACKED, _TRACKED_BC):
+        if obj in reg:
+            reg.remove(obj)
+            try:
+                obj.unpersist(blocking=False)
+            except Exception:
+                pass
+            return True
+    return False
+
+
 def release_broadcasts() -> int:
     """UNPERSIST (not destroy) every tracked broadcast: executor copies
     are dropped, but a plan that still references the broadcast simply

@@ -702,11 +702,24 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 
 
-@register("simhash_pairs", dedup.SIMHASH_PAIRS_SQL)
+@register_extra("simhash_pairs", dedup.SIMHASH_PAIRS_SQL)
 def q_simhash_pairs(spark, sf_dir):
     """SimHash exact pairs over a bounded id block (verification utility;
-    the production path is simhash_pairs_banded)."""
+    the production path is simhash_pairs_banded). EXTRA (local-parity)
+    since r5: its driver gate slot went to dedup_clusters — a utility's
+    slot is worth less than the dedup decision step's."""
     return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_clusters", dedup.DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup DECISION step: connected components over the
+    MinHash-LSH near-dup pair graph (iterative min-label propagation,
+    one join+agg per round) with keeper selection — (doc_id,
+    cluster_id, is_keeper) for every corpus doc. Oracle is a DuckDB
+    recursive-CTE reachability closure over the same exact-Jaccard
+    pair graph."""
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
 
 
 @register("simhash_pairs_banded", dedup.SIMHASH_PAIRS_BANDED_SQL)
@@ -1144,7 +1157,7 @@ _GATE_ORDER = [
     "exact_dedup",
     "minhash_lsh",
     "simhash_fingerprints_variants",
-    "simhash_pairs",
+    "dedup_clusters",
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "ngram_jaccard",

@@ -370,8 +370,10 @@ def _minhash_verify(bands: DataFrame, sh: DataFrame) -> DataFrame:
     return verified
 
 
-MINHASH_LSH_SQL = f"""
-WITH {DUCK_VARIANT_CORPUS.strip()},
+# corpus -> shingle hashes -> exact all-pairs Jaccard CTE chain, shared
+# by the minhash oracle and the dedup-clusters oracle
+_DUCK_JAC_CTES = f"""
+{DUCK_VARIANT_CORPUS.strip()},
 sh_base AS (
   SELECT doc_id,
          {duck_polyhash_over_array(_DUCK_SHINGLES)} AS sh
@@ -388,6 +390,10 @@ jac AS (
       AS jaccard
   FROM pairs
 )
+"""
+
+MINHASH_LSH_SQL = f"""
+WITH {_DUCK_JAC_CTES.strip()}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
@@ -1217,4 +1223,111 @@ WITH {_DUCK_SIMHASH_BASE.strip()},
 SELECT doc_id, CAST(32 AS BIGINT) AS bits, simhash AS fp FROM fp
 UNION ALL
 SELECT doc_id, CAST(64 AS BIGINT) AS bits, simhash64 AS fp FROM fp64
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (the dedup DECISION step)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(docs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph +
+    keeper selection — the DECISION step a cleaning pipeline runs after
+    pair generation: group mutually-near-duplicate documents into
+    clusters and keep exactly one per cluster (the min doc_id), cutting
+    the rest. Returns (doc_id, cluster_id, is_keeper) for EVERY corpus
+    doc (singletons are their own keeper).
+
+    Spark shape: iterative min-label propagation (the Pregel shape).
+    Every node starts labeled with its own id; each iteration joins the
+    label table to the bidirectional edge list, takes each node's min
+    neighbor label, and keeps least(own, neighbor-min). The fixpoint —
+    no label changes — is exactly per-component min id, reached within
+    graph-diameter iterations. Per-iteration cost is ONE equality join
+    + one groupBy over the edges (no all-pairs, no window); the
+    convergence test rides the same action that materializes the new
+    labels (a sum of per-row change flags), so each iteration is one
+    job, like the k-means Lloyd loop. Iteration state is persisted and
+    the PREVIOUS iteration's persist is released scope-locally
+    (mark/release_since). Near-dup clusters have tiny diameters in
+    practice (variants of one source document); at 10^12-doc scale you
+    bound the iteration count with the large-star/small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — same join-per-round shape, logarithmic
+    round count; this form IS that algorithm's simple-graph special
+    case and the gate's oracle (a DuckDB recursive closure) pins its
+    semantics."""
+    from .. import cached
+
+    pairs = minhash_lsh_pairs(docs).select("id_a", "id_b")
+    edges = cached.track(
+        pairs.unionByName(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+    )
+    nodes = _variant_corpus(docs).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    labels = cached.track(
+        nodes.select("id", F.col("id").alias("label"), F.lit(0).alias("chg"))
+    )
+    converged = False
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges["id_b"] == labels["id"])
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = cached.track(
+            labels.join(neigh_min, labels["id"] == neigh_min["id_a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nmin"), labels["label"])
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("nmin"), labels["label"])
+                    < labels["label"]
+                ).cast("long").alias("chg"),
+            )
+        )
+        n_changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+        # drop ONLY the pre-iteration label persist; new_labels stays
+        # tracked as the next iteration's input / the returned relation
+        cached.release_entry(labels)
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations"
+            " (component diameter exceeds the cap) — raise max_iters or"
+            " switch to star-contraction rounds"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).cast("long").alias("is_keeper"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DUCK_JAC_CTES.strip()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM corpus
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+FROM reach GROUP BY id
 """

@@ -209,3 +209,32 @@ def test_duplicated_ranges_multi_unions_lengths(spark):
     # every 8- and 16-gram inside words 0..19 repeats across the docs ->
     # one maximal interval [0, 19] per doc
     assert rows == [(1, 0, 19), (2, 0, 19)]
+
+
+def test_dedup_clusters_chain_needs_propagation(spark):
+    """A near-dup CHAIN a~b~c (a,c NOT directly similar) must land in
+    ONE cluster — transitive closure, which takes multiple label-
+    propagation iterations — with exactly one keeper, the min doc_id.
+    Parity against the recursive-closure oracle on the same corpus."""
+    import duckdb
+
+    w = [f"w{i}" for i in range(19)]
+    rows = [
+        (0, " ".join(w[1:13])),   # w1..w12
+        (1, " ".join(w[3:15])),   # w3..w14: J(0,1)=8/12 >= 0.6
+        (2, " ".join(w[5:17])),   # w5..w16: J(1,2)=8/12, J(0,2)=6/14 < 0.6
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["is_keeper"])
+        for r in dedup.dedup_clusters(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(con.execute(dedup.DEDUP_CLUSTERS_SQL).fetchall())
+    assert got == want
+    # transitive closure: every node (3 docs + 3 variants) in ONE
+    # cluster rooted at doc 0, exactly one keeper
+    assert {c for _, c, _ in got} == {0}
+    assert [(d, k) for d, c, k in got if k == 1] == [(0, 1)]
