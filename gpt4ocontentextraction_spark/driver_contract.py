@@ -781,6 +781,16 @@ def q_dup_ranges(spark, sf_dir):
     return dedup.duplicated_ranges(_docs(spark, sf_dir))
 
 
+@register_extra("dedup_cut", dedup.DEDUP_CUT_SQL)
+def q_dedup_cut(spark, sf_dir):
+    """APPLY the substring dedup: text with every duplicated range cut
+    out (the Lee et al. consumer step). Relational on both engines —
+    posexplode + doc_id equi-join mark + ordered reassembly. EXTRA
+    (local-parity) gate: the 50-slot driver registry carries the
+    range-producing operators; this is their consumer."""
+    return dedup.dedup_cut(_docs(spark, sf_dir))
+
+
 @register("dup_ranges_multi", dedup.DUP_RANGES_MULTI_SQL)
 def q_dup_ranges_multi(spark, sf_dir):
     """Maximal duplicated word-intervals from the UNION of 8- and

@@ -987,14 +987,23 @@ runs AS (
            lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
     FROM flagged
   )
+),
+dranges AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS start_pos,
+         CAST(MAX(pos) + {DUP_NGRAM_N} - 1 AS BIGINT) AS end_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM runs
+  GROUP BY doc_id, run_id
 )
-SELECT doc_id,
-       CAST(MIN(pos) AS BIGINT) AS start_pos,
-       CAST(MAX(pos) + {DUP_NGRAM_N} - 1 AS BIGINT) AS end_pos,
-       CAST(COUNT(*) AS BIGINT) AS n_grams
-FROM runs
-GROUP BY doc_id, run_id
+SELECT doc_id, start_pos, end_pos, n_grams FROM dranges
 """
+
+# the words -> ... -> dranges CTE chain of DUP_RANGES_SQL, reusable by
+# the cut oracle (everything between WITH and the final SELECT)
+_DUCK_DUP_RANGES_CTES = DUP_RANGES_SQL.strip()[len("WITH "):].rsplit(
+    "SELECT doc_id, start_pos, end_pos, n_grams FROM dranges", 1
+)[0].rstrip().rstrip(",") + ""
 
 
 # ---------------------------------------------------------------------------
@@ -1330,4 +1339,89 @@ reach AS (
 SELECT id AS doc_id, MIN(r) AS cluster_id,
        CAST(CASE WHEN MIN(r) = id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
 FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Substring-dedup application (cut the flagged ranges out of the text)
+# ---------------------------------------------------------------------------
+
+
+def dedup_cut(
+    docs: DataFrame, n: int = DUP_NGRAM_N, min_count: int = DUP_NGRAM_MIN_COUNT
+) -> DataFrame:
+    """APPLY the substring dedup: remove every word inside a duplicated
+    range (Lee et al. 2022 cut duplicated passages from the training
+    text, they did not just report them) — returns (doc_id, cleaned)
+    for every non-null-text document, '' when the whole text was
+    duplicated.
+
+    Relational, both engines: posexplode the words, mark each position
+    by a doc_id equi-join against duplicated_ranges (ranges per doc are
+    few — never a non-equi anti join, which Spark would plan as a
+    nested loop), keep unmarked positions, reassemble in position order.
+    The corpus-wide heavy lifting (gram counting) happens inside
+    duplicated_ranges; this pass adds one doc_id-keyed join + two
+    per-doc aggregations."""
+    ranges = duplicated_ranges(docs, n=n, min_count=min_count)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    words = base.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    marked = (
+        words.join(ranges, "doc_id", "left")
+        .groupBy("doc_id", "pos", "w")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("pos") >= F.col("start_pos"))
+                    & (F.col("pos") <= F.col("end_pos")),
+                    1,
+                ).otherwise(0)
+            ).alias("cut")
+        )
+    )
+    rebuilt = (
+        marked.filter(F.coalesce(F.col("cut"), F.lit(0)) == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, w))),"
+                    " s -> s.w)"
+                ),
+            ).alias("cleaned")
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("cleaned", F.lit("")).alias("cleaned"))
+    )
+
+
+DEDUP_CUT_SQL = f"""
+WITH {_DUCK_DUP_RANGES_CTES},
+dwords AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ws[i] AS w
+  FROM words, unnest(range(1, CAST(len(ws) AS BIGINT) + 1)) AS t(i)
+),
+marked AS (
+  SELECT d.doc_id, d.pos, d.w,
+         MAX(CASE WHEN d.pos BETWEEN r.start_pos AND r.end_pos
+                  THEN 1 ELSE 0 END) AS cut
+  FROM dwords d LEFT JOIN dranges r USING (doc_id)
+  GROUP BY d.doc_id, d.pos, d.w
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS cleaned
+  FROM marked WHERE COALESCE(cut, 0) = 0
+  GROUP BY doc_id
+)
+SELECT w.doc_id, COALESCE(r.cleaned, '') AS cleaned
+FROM (SELECT DISTINCT doc_id FROM words) w
+LEFT JOIN rebuilt r USING (doc_id)
 """

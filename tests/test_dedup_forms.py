@@ -238,3 +238,17 @@ def test_dedup_clusters_chain_needs_propagation(spark):
     # cluster rooted at doc 0, exactly one keeper
     assert {c for _, c, _ in got} == {0}
     assert [(d, k) for d, c, k in got if k == 1] == [(0, 1)]
+
+
+def test_dedup_cut_removes_merged_ranges(spark):
+    """Cutting uses the gap-merged ranges: doc 1's whole text lies in
+    the single merged interval [0,9] (cleaned -> ''), doc 2 keeps only
+    the breaker word at pos 8 between its two ranges [0,7] and [9,16]."""
+    w = [f"w{i}" for i in range(10)]
+    doc1 = " ".join(w)
+    doc2 = " ".join(w[0:8] + ["X"] + w[2:10])
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["cleaned"] for r in dedup.dedup_cut(docs).collect()}
+    assert got == {1: "", 2: "X"}
