@@ -216,3 +216,107 @@ def test_hybrid_null_text_and_null_embedding_rows(spark, tmp_path):
     assert got == want
     assert len(got) == 5  # all 6 vectors fuse minus the docless... none
     # docless here: 6 docs, 6 vecs -> 5 rows is k
+
+
+def test_hybrid_exact_vs_bruteforce_random_corpora(spark, tmp_path):
+    """Property-style exactness pin for the trickiest operator: on
+    seeded random corpora (skewed keyword frequencies, docless vectors,
+    ties), hybrid at SMALL n_cand (forcing doubling, the closed-form
+    jump, and one-sided resolution) must equal a brute-force Python RRF
+    computed from the full rankings. The brute force mirrors the spec
+    directly: full BM25 + cosine rankings, inner join, round-6 rrf."""
+    import math
+    import random
+
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        KEYWORDS,
+        RRF_K,
+        _sql_round6,
+        hybrid_rrf_topk,
+    )
+
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        sf = str(tmp_path / f"s{seed}")
+        vocab = list(KEYWORDS) + [f"v{i}" for i in range(8)]
+        n_docs = rng.randint(12, 20)
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+            for i in range(n_docs)
+        ]
+        spark.createDataFrame(
+            [(d, t, "en", "synthetic", len(t)) for d, t in docs],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/documents.parquet"
+        )
+        n_vecs = n_docs + rng.randint(0, 5)  # some docless vectors
+        vecs = [
+            (i, [rng.uniform(-1, 1) for _ in range(4)], 0)
+            for i in range(n_vecs)
+        ]
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/embeddings.parquet"
+        )
+
+        # brute force from first principles (python floats = IEEE double)
+        def ranks(scored):  # [(id, score)] -> {id: rank} desc, id asc
+            o = sorted(scored, key=lambda t: (-t[1], t[0]))
+            return {d: i + 1 for i, (d, _) in enumerate(o)}
+
+        tf = {
+            d: {kw: t.split(" ").count(kw) for kw in KEYWORDS}
+            for d, t in docs
+        }
+        dl = {d: len(t.split(" ")) for d, t in docs}
+        n = len(docs)
+        avgdl = sum(dl.values()) / n
+        df_ = {kw: sum(1 for d, _ in docs if tf[d][kw] > 0) for kw in KEYWORDS}
+        bm = {
+            d: sum(
+                math.log((n - df_[kw] + 0.5) / (df_[kw] + 0.5) + 1.0)
+                * (tf[d][kw] * (BM25_K1 + 1.0))
+                / (
+                    tf[d][kw]
+                    + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[d] / avgdl))
+                )
+                for kw in KEYWORDS
+            )
+            for d, _ in docs
+        }
+        # cosine vs vec 0 over float32-truncated vectors cast to double
+        import numpy as np
+
+        V = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in vecs}
+
+        def cos(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):  # sequential fold = engine order
+                dot += x * y
+                na += x * x
+                nb += y * y
+            return dot / (math.sqrt(na) * math.sqrt(nb))
+
+        cs = {i: cos(V[i], V[0]) for i in V}
+        rb, rc = ranks(list(bm.items())), ranks(list(cs.items()))
+        fused = sorted(
+            (
+                (d, rb[d], rc[d],
+                 _sql_round6(1.0 / (RRF_K + rb[d]) + 1.0 / (RRF_K + rc[d])))
+                for d in rb.keys() & rc.keys()
+            ),
+            key=lambda t: (-t[3], t[0]),
+        )[:5]
+        for n_cand in (2, 5, 10**6):
+            got = sorted(
+                tuple(r)
+                for r in hybrid_rrf_topk(spark, sf, n_cand=n_cand).collect()
+            )
+            assert got == sorted(fused), (
+                f"seed={seed} n_cand={n_cand}: {got} != {sorted(fused)}"
+            )
