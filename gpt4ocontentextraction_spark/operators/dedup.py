@@ -1269,13 +1269,14 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 25) -> DataFrame:
     semantics."""
     from .. import cached
 
-    pairs = minhash_lsh_pairs(docs).select("id_a", "id_b")
-    edges = cached.track(
-        pairs.unionByName(
-            pairs.select(
-                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-            )
-        )
+    # persist the PAIRS, not the bidirectional union: the union's two
+    # branches both reference the pairs subtree, so persisting only the
+    # union would evaluate the LSH band-join + verify twice on first
+    # materialization; with pairs cached, the union is two cheap cache
+    # reads re-evaluated per iteration
+    pairs = cached.track(minhash_lsh_pairs(docs).select("id_a", "id_b"))
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     nodes = _variant_corpus(docs).select(
         F.col("doc_id").cast("long").alias("id")
