@@ -51,6 +51,45 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _fetch_qvec(spark, sf_dir, query_id: int):
+    """Driver-side point fetch of the query embedding: ``(found, vec)``
+    where vec is a Python float list (or None for a NULL embedding).
+
+    The query vector is a PARAMETER of the retrieval call, not part of
+    the distributed dataflow — the reference obtains it from the
+    embeddings API before querying (test-query.ipynb cell-4) — so
+    fetching it should not cost a Spark job (scan + filter + collect
+    measured 0.2-0.9 s per retrieval call at sf0.1). The pyarrow read
+    applies the same row-group-statistics pruning Spark's pushed
+    filter would, driver-local; at production scale an id-sorted /
+    partitioned embeddings table keeps this a one-row-group read.
+    Values are identical either way: both paths widen the stored
+    float32 to Python float. Falls back to the Spark job on any
+    pyarrow failure (e.g. a layout ds.dataset can't read)."""
+    try:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(
+            f"{sf_dir}/embeddings.parquet", format="parquet"
+        ).to_table(
+            filter=ds.field("vec_id") == query_id, columns=["embedding"]
+        )
+        if t.num_rows == 0:
+            return False, None
+        return True, t.column("embedding")[0].as_py()
+    except Exception:
+        rows = (
+            _emb(spark, sf_dir)
+            .filter(F.col("vec_id") == query_id)
+            .select("embedding")
+            .collect()
+        )
+        if not rows:
+            return False, None
+        v = rows[0][0]
+        return True, (None if v is None else [float(x) for x in v])
+
+
 def cosine_topk(spark, sf_dir, query_id: int = 0, k: int = TOP_K) -> DataFrame:
     """Brute-force cosine top-k against the embedding of vec_id=query_id.
 
@@ -64,19 +103,18 @@ def cosine_topk(spark, sf_dir, query_id: int = 0, k: int = TOP_K) -> DataFrame:
     (max 1.1e-8), surviving the gate only because round-6 rarely lands
     on a boundary; the double-cast UDF is bit-identical to the oracle
     on all 2000 vectors (0 mismatches), so this is both the fast and
-    the strictly-safer form."""
+    the strictly-safer form. The query vector arrives via the
+    driver-side point fetch (_fetch_qvec), not a Spark job."""
     emb = _emb(spark, sf_dir)
-    qrows = (
-        emb.filter(F.col("vec_id") == query_id).select("embedding").collect()
-    )
-    if not qrows:
+    found, qv = _fetch_qvec(spark, sf_dir, query_id)
+    if not found:
         return spark.createDataFrame([], "vec_id long, sim double")
-    if qrows[0][0] is None:
+    if qv is None:
         # NULL query vector: every sim is NULL (the expression form's
         # semantics), ranking falls through to (nulls last, vec_id asc)
         sim = F.lit(None).cast("double").alias("sim")
     else:
-        qlit = F.array(*[F.lit(float(x)) for x in qrows[0][0]]).cast(
+        qlit = F.array(*[F.lit(float(x)) for x in qv]).cast(
             "array<double>"
         )
         vd = F.expr("transform(embedding, x -> cast(x as double))")
@@ -625,13 +663,15 @@ def ivf_kmeans_topk(
         # operator's tracked persists mid-flight (ADVICE r4 #3).
         _release_since(scope)
     bucket = _assign_bucket(F.col("v"), cent_list, "double")
-    qv_rows = emb.filter(F.col("vec_id") == query_id).collect()
-    if not qv_rows:
+    # driver-side point fetch (see _fetch_qvec); float(x) is the same
+    # float32 -> float64 widening the "v" double-cast column applied
+    q_found, q_raw = _fetch_qvec(spark, sf_dir, query_id)
+    if not q_found:
         # unknown query_id: empty result instead of a driver IndexError
         return spark.createDataFrame(
             [], "vec_id long, bucket long, sim double"
         )
-    qv_list = [float(x) for x in qv_rows[0]["v"]]
+    qv_list = [float(x) for x in q_raw]
 
     def _pycos(a, b):  # sequential fold, mirrors _dot/_dot_col exactly
         def dot(p, q):
@@ -963,16 +1003,29 @@ def rerank_topk(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    q = emb.filter(F.col("vec_id") == query_id).select(
-        F.col("v").alias("qv")
-    )
+    # the query vector is a driver-side point fetch (_fetch_qvec), not a
+    # crossJoin(broadcast(one-row-subquery)) — the broadcast form re-ran
+    # the embeddings scan a second time per call just to ship one row
+    found, q_raw = _fetch_qvec(spark, sf_dir, query_id)
+    if not found:
+        # unknown query vector: the one-row q relation was empty, so the
+        # crossJoin produced no rows
+        return spark.createDataFrame(
+            [], "doc_id long, bm25 double, sim double"
+        )
+    if q_raw is None:
+        qlit = F.lit(None).cast("array<double>")
+    else:
+        qlit = F.array(*[F.lit(float(x)) for x in q_raw]).cast(
+            "array<double>"
+        )
     reranked = (
         F.broadcast(cands)
         .join(
             emb.select(F.col("vec_id").cast("long").alias("doc_id"), "v"),
             "doc_id",
         )
-        .crossJoin(F.broadcast(q))
+        .withColumn("qv", qlit)
         .select(
             "doc_id",
             "bm25",
@@ -997,7 +1050,17 @@ ORDER BY sim DESC, c.doc_id ASC LIMIT 3
 """
 
 
-HYBRID_N_CAND = 1000
+# Default prefix budget for hybrid RRF. A prefix budget bounds driver
+# transfer at 2 * n_cand rows regardless of corpus size; a larger budget
+# makes the common path (exit in ONE distributed action, no
+# order-statistic resolution, no doubling) more likely at every scale —
+# whenever one score list is shorter than the budget, list-exhaustion
+# detection excludes its absent docs outright and the resolve action
+# never fires for that side. 2048 collects <= 4096 rows (trivial driver
+# memory) and, measured at sf0.1, removes the per-call resolve job the
+# 1000-row budget forced (~0.5 s): the thin docs∩embeddings
+# intersection left ~26 upper-bound survivors per call at 1000.
+HYBRID_N_CAND = 2048
 
 
 def _sql_round6(x: float) -> float:
@@ -1091,22 +1154,20 @@ def hybrid_rrf_topk(
     materialization re-running the scorers."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = _emb(spark, sf_dir)
-    qrows = (
-        emb.filter(F.col("vec_id") == query_id).select("embedding").collect()
-    )
-    if not qrows:
+    found, qv = _fetch_qvec(spark, sf_dir, query_id)
+    if not found:
         # unknown query vector: the cosine ranking is empty, so the
         # inner-join fused universe is empty
         return spark.createDataFrame(
             [], "doc_id long, r_bm25 long, r_cos long, rrf double"
         )
-    if qrows[0][0] is None:
+    if qv is None:
         # NULL query vector: every sim is NULL; ranking degrades to
         # (nulls last => doc_id asc), which the null-safe driver sort
         # below reproduces exactly
         sim_col = F.lit(None).cast("double").alias("sim")
     else:
-        qlit = F.array(*[F.lit(float(x)) for x in qrows[0][0]]).cast(
+        qlit = F.array(*[F.lit(float(x)) for x in qv]).cast(
             "array<double>"
         )
         # Cosine scoring is the double-cast Arrow pair-UDF with the
@@ -1223,10 +1284,11 @@ def hybrid_rrf_topk(
 
         # resolve ALL surviving upper-bound docs' missing ranks in ONE
         # distributed action across BOTH sides (r4 ran 2 driver jobs per
-        # side — 4 total — and this path fires on every sf0.1 call: the
-        # embeddings universe is a strict subset of the docs universe, so
-        # the prefix intersection is thin and ~25 one-sided docs survive
-        # the ub filter). Per side: broadcast the needy ids, an inner
+        # side — 4 total. The embeddings universe is a strict subset of
+        # the docs universe, so the prefix intersection is thin; at the
+        # default budget the cosine list exhausts at this SF and only
+        # the few cos-side docs missing from the bm prefix — ~4 at
+        # sf0.1 — reach this path). Per side: broadcast the needy ids, an inner
         # join fetches their scores (a doc ABSENT from the side — e.g. a
         # cosine candidate with no BM25 row — never joins and is
         # excluded: the RRF spec is an INNER join of the two full
