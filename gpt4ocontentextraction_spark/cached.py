@@ -60,6 +60,8 @@ def release_since(m: tuple[int, int]) -> int:
     n_df, n_bc = m
     n = 0
     for df in _TRACKED[n_df:]:
+        if df is None:
+            continue  # tombstoned by release_entry
         try:
             df.unpersist(blocking=False)
         except Exception:
@@ -67,6 +69,8 @@ def release_since(m: tuple[int, int]) -> int:
         n += 1
     del _TRACKED[n_df:]
     for bc in _TRACKED_BC[n_bc:]:
+        if bc is None:
+            continue
         try:
             bc.unpersist(blocking=False)
         except Exception:
@@ -80,15 +84,20 @@ def release_entry(obj) -> bool:
     """Release ONE tracked relation or broadcast — the other
     iterative-operator shape (label propagation): drop the previous
     iteration's persist specifically, leaving every other tracked entry
-    (including this iteration's) in place."""
+    (including this iteration's) in place. The slot is TOMBSTONED (set
+    to None), not removed: mark() scopes are registry POSITIONS, so
+    removal would shift a pre-mark entry out of an active scope and
+    leave a later-tracked persist behind — the exact leak this registry
+    exists to prevent."""
     for reg in (_TRACKED, _TRACKED_BC):
-        if obj in reg:
-            reg.remove(obj)
-            try:
-                obj.unpersist(blocking=False)
-            except Exception:
-                pass
-            return True
+        for i, e in enumerate(reg):
+            if e is obj:
+                reg[i] = None
+                try:
+                    obj.unpersist(blocking=False)
+                except Exception:
+                    pass
+                return True
     return False
 
 
@@ -103,6 +112,8 @@ def release_broadcasts() -> int:
     n = 0
     while _TRACKED_BC:
         bc = _TRACKED_BC.pop()
+        if bc is None:
+            continue  # tombstoned by release_entry
         try:
             bc.unpersist(blocking=False)
         except Exception:
@@ -117,6 +128,8 @@ def release_all() -> int:
     n = release_broadcasts()
     while _TRACKED:
         df = _TRACKED.pop()
+        if df is None:
+            continue  # tombstoned by release_entry
         try:
             df.unpersist(blocking=False)
         except Exception:

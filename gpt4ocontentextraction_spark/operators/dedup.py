@@ -956,8 +956,12 @@ def duplicated_ranges(
     )
 
 
-DUP_RANGES_SQL = f"""
-WITH words AS (
+# Shared CTE chain for the duplicated-range oracles: DUP_RANGES_SQL and
+# DEDUP_CUT_SQL both build on it explicitly (the _DUCK_JAC_CTES
+# pattern) — deriving one SQL string from another by string surgery
+# silently degraded to the whole unsplit SQL if the spliced line
+# changed.
+_DUCK_DUP_RANGES_CTES = f"""words AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
   FROM documents
 ),
@@ -995,16 +999,12 @@ dranges AS (
          CAST(COUNT(*) AS BIGINT) AS n_grams
   FROM runs
   GROUP BY doc_id, run_id
-)
+)"""
+
+DUP_RANGES_SQL = f"""
+WITH {_DUCK_DUP_RANGES_CTES}
 SELECT doc_id, start_pos, end_pos, n_grams FROM dranges
 """
-
-# the words -> ... -> dranges CTE chain of DUP_RANGES_SQL, reusable by
-# the cut oracle (everything between WITH and the final SELECT)
-_DUCK_DUP_RANGES_CTES = DUP_RANGES_SQL.strip()[len("WITH "):].rsplit(
-    "SELECT doc_id, start_pos, end_pos, n_grams FROM dranges", 1
-)[0].rstrip().rstrip(",") + ""
-
 
 # ---------------------------------------------------------------------------
 # Hashed-gram arm of the substring dedup (the 100-TB exchange shape)
@@ -1309,7 +1309,9 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 25) -> DataFrame:
         # tracked as the next iteration's input / the returned relation
         cached.release_entry(labels)
         labels = new_labels
-        if n_changed == 0:
+        # SUM over zero rows is NULL: an empty corpus is converged, not
+        # a 25-iteration crash
+        if not n_changed:
             converged = True
             break
     if not converged:
@@ -1423,6 +1425,12 @@ rebuilt AS (
   GROUP BY doc_id
 )
 SELECT w.doc_id, COALESCE(r.cleaned, '') AS cleaned
-FROM (SELECT DISTINCT doc_id FROM words) w
+FROM (
+  -- ws IS NULL <=> text was NULL (string_split(NULL) = NULL): exclude,
+  -- matching the Spark side's text.isNotNull() base filter — without
+  -- it the oracle emitted cleaned='' rows for NULL-text docs the
+  -- engine (correctly) drops
+  SELECT DISTINCT doc_id FROM words WHERE ws IS NOT NULL
+) w
 LEFT JOIN rebuilt r USING (doc_id)
 """

@@ -349,8 +349,10 @@ def ivf_topk(spark, sf_dir, query_id: int = 0, k: int = 5) -> DataFrame:
         .select(bucket.alias("qbucket"), "v")
         .collect()
     )
-    if not qrows:
-        # unknown query_id: empty result, like the join-based form had
+    if not qrows or qrows[0]["v"] is None:
+        # unknown query_id, or a NULL query embedding (whose bucket is
+        # NULL — nothing to probe): empty result, like the join-based
+        # form had, instead of a driver TypeError
         return spark.createDataFrame(
             [], "vec_id long, bucket long, sim double"
         )
@@ -666,8 +668,9 @@ def ivf_kmeans_topk(
     # driver-side point fetch (see _fetch_qvec); float(x) is the same
     # float32 -> float64 widening the "v" double-cast column applied
     q_found, q_raw = _fetch_qvec(spark, sf_dir, query_id)
-    if not q_found:
-        # unknown query_id: empty result instead of a driver IndexError
+    if not q_found or q_raw is None:
+        # unknown query_id OR NULL query embedding: a NULL vector has no
+        # bucket to probe — empty result instead of a driver TypeError
         return spark.createDataFrame(
             [], "vec_id long, bucket long, sim double"
         )

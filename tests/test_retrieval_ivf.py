@@ -183,3 +183,25 @@ def test_large_k_natural_dispatch_end_to_end(spark):
     # call; release_all must find and release them, leaving nothing
     assert cached.release_all() >= 1
     assert cached.n_persistent(spark) <= n0  # this test left nothing
+
+
+def test_ivf_null_query_embedding_returns_empty(spark, tmp_path):
+    """Code-review r5 #2: a NULL query embedding has a NULL bucket —
+    nothing to probe. Both IVF arms must return an empty relation (the
+    defined unknown-query shape) instead of a driver TypeError when
+    iterating the None vector."""
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        ivf_kmeans_topk,
+        ivf_topk,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        (i, [1.0 / (i + 1), 0.5, 0.0, 1.0], i % 2) for i in range(12)
+    ] + [(12, None, 0)]  # vec 12: NULL embedding, not a centroid
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    for fn in (ivf_topk, ivf_kmeans_topk):
+        got = fn(spark, sf, query_id=12).collect()
+        assert got == [], fn.__name__
