@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from . import oracles
 from .functions import markers as mk
-from .operators import dedup, embed, retrieval, textstats
+from .operators import curation, dedup, embed, retrieval, textstats
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators.merge import merge_markdown
@@ -722,12 +722,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(_docs(spark, sf_dir))
 
 
-@register("simhash_pairs_banded", dedup.SIMHASH_PAIRS_BANDED_SQL)
+@register_extra("simhash_pairs_banded", dedup.SIMHASH_PAIRS_BANDED_SQL)
 def q_simhash_pairs_banded(spark, sf_dir):
     """Production SimHash near-dup: banded equality-join candidates +
     exact hamming verify, UNCAPPED corpus. Oracle is exact all-pairs —
     equality proves banded recall=1 at hamming <= 3 (pigeonhole, 4 bands).
-    Plan contains no nested-loop join (pinned in tests/test_plans.py)."""
+    Plan contains no nested-loop join (pinned in tests/test_plans.py).
+    Driver-gated inside simhash_pairs_banded_variants since r5 (the
+    32/64-bit forms share one labeled-union slot)."""
     return dedup.simhash_pairs_banded(_docs(spark, sf_dir))
 
 
@@ -738,13 +740,14 @@ def q_simhash64(spark, sf_dir):
     return dedup.simhash64_fingerprints(_docs(spark, sf_dir))
 
 
-@register("simhash64_pairs_banded", dedup.SIMHASH64_PAIRS_BANDED_SQL)
+@register_extra("simhash64_pairs_banded", dedup.SIMHASH64_PAIRS_BANDED_SQL)
 def q_simhash64_pairs_banded(spark, sf_dir):
     """PRODUCTION SimHash near-dup at scale (SCALE.md): 64-bit
     fingerprints, 4 x 16-bit bands (candidates ~n^2/65536 per band vs
     n^2/256 for the 32-bit form), exact hamming verify, uncapped variant
     corpus. Oracle is exact all-pairs — equality proves banded recall=1
-    at hamming <= 3 (pigeonhole, 4 bands)."""
+    at hamming <= 3 (pigeonhole, 4 bands). Driver-gated inside
+    simhash_pairs_banded_variants since r5."""
     return dedup.simhash64_pairs_banded(_docs(spark, sf_dir))
 
 
@@ -754,7 +757,7 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
-@register("dup_ngram_spans", dedup.DUP_NGRAM_SPANS_SQL)
+@register_extra("dup_ngram_spans", dedup.DUP_NGRAM_SPANS_SQL)
 def q_dup_ngram_spans(spark, sf_dir):
     """Exact duplicated 8-gram spans (substring-level dedup signal):
     every word position whose 8-gram repeats across the corpus, with its
@@ -762,7 +765,7 @@ def q_dup_ngram_spans(spark, sf_dir):
     return dedup.duplicated_ngram_spans(_docs(spark, sf_dir))
 
 
-@register("dup_ngram_spans_hashed", dedup.DUP_NGRAM_SPANS_SQL)
+@register_extra("dup_ngram_spans_hashed", dedup.DUP_NGRAM_SPANS_SQL)
 def q_dup_ngram_spans_hashed(spark, sf_dir):
     """The 100-TB exchange shape of dup_ngram_spans: the corpus-wide
     count aggregation shuffles a 64-bit xxhash of each gram instead of
@@ -771,7 +774,7 @@ def q_dup_ngram_spans_hashed(spark, sf_dir):
     return dedup.duplicated_ngram_spans_hashed(_docs(spark, sf_dir))
 
 
-@register("dup_ranges", dedup.DUP_RANGES_SQL)
+@register_extra("dup_ranges", dedup.DUP_RANGES_SQL)
 def q_dup_ranges(spark, sf_dir):
     """Duplicated word-RANGES per document (gaps-and-islands merge of
     the flagged 8-gram positions, gap tolerance n so covered intervals
@@ -791,7 +794,7 @@ def q_dedup_cut(spark, sf_dir):
     return dedup.dedup_cut(_docs(spark, sf_dir))
 
 
-@register("dup_ranges_multi", dedup.DUP_RANGES_MULTI_SQL)
+@register_extra("dup_ranges_multi", dedup.DUP_RANGES_MULTI_SQL)
 def q_dup_ranges_multi(spark, sf_dir):
     """Maximal duplicated word-intervals from the UNION of 8- and
     16-gram flagged spans (interval merge with running-max islands,
@@ -935,14 +938,14 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     return retrieval.ivf_kmeans_topk(spark, sf_dir)
 
 
-@register("embedding_neardup", retrieval.EMBEDDING_NEARDUP_SQL)
+@register_extra("embedding_neardup", retrieval.EMBEDDING_NEARDUP_SQL)
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (sim >= 0.8, bounded block) —
     verification utility; production path is embedding_neardup_lsh."""
     return retrieval.embedding_neardup_pairs(spark, sf_dir)
 
 
-@register("embedding_neardup_lsh", retrieval.EMBEDDING_NEARDUP_LSH_SQL)
+@register_extra("embedding_neardup_lsh", retrieval.EMBEDDING_NEARDUP_LSH_SQL)
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Production embedding near-dup: hyperplane-LSH banded candidates +
     exact-cosine verify, UNCAPPED variant corpus. Oracle is exact
@@ -1112,6 +1115,136 @@ def q_markdown_chunks_variants(spark, sf_dir):
     return fu.unionByName(py)
 
 
+@register(
+    "simhash_pairs_banded_variants",
+    f"SELECT id_a, id_b, hamming, CAST(32 AS BIGINT) AS bits"
+    f" FROM ({dedup.SIMHASH_PAIRS_BANDED_SQL})"
+    f" UNION ALL SELECT id_a, id_b, hamming, CAST(64 AS BIGINT) AS bits"
+    f" FROM ({dedup.SIMHASH64_PAIRS_BANDED_SQL})",
+)
+def q_simhash_pairs_banded_variants(spark, sf_dir):
+    """Production SimHash near-dup pairs, 32- and 64-bit banded forms in
+    one labeled-union gate (each width's rows carry its `bits` tag and
+    hash-check against its own exact all-pairs oracle — recall=1 at
+    hamming <= 3 by pigeonhole in both widths)."""
+    p32 = q_simhash_pairs_banded(spark, sf_dir).withColumn(
+        "bits", F.lit(32).cast("long")
+    )
+    p64 = q_simhash64_pairs_banded(spark, sf_dir).withColumn(
+        "bits", F.lit(64).cast("long")
+    )
+    return p32.unionByName(p64)
+
+
+@register(
+    "dup_ngram_spans_variants",
+    f"SELECT doc_id, pos, gram, cnt, 'exact' AS variant"
+    f" FROM ({dedup.DUP_NGRAM_SPANS_SQL})"
+    f" UNION ALL SELECT doc_id, pos, gram, cnt, 'hashed' AS variant"
+    f" FROM ({dedup.DUP_NGRAM_SPANS_SQL})",
+)
+def q_dup_ngram_spans_variants(spark, sf_dir):
+    """Substring-dedup flagged positions, exact-string and hashed-gram
+    (100-TB exchange shape) arms in one gate — the hashed arm is
+    result-identical by construction, so both tags check against the
+    same string oracle."""
+    ex = q_dup_ngram_spans(spark, sf_dir).withColumn(
+        "variant", F.lit("exact")
+    )
+    ha = q_dup_ngram_spans_hashed(spark, sf_dir).withColumn(
+        "variant", F.lit("hashed")
+    )
+    return ex.unionByName(ha)
+
+
+@register(
+    "dup_ranges_variants",
+    f"SELECT doc_id, start_pos, end_pos, CAST(n_grams AS BIGINT) AS n,"
+    f" 'n8' AS variant FROM ({dedup.DUP_RANGES_SQL})"
+    f" UNION ALL SELECT doc_id, start_pos, end_pos,"
+    f" CAST(n_spans AS BIGINT) AS n, 'multi' AS variant"
+    f" FROM ({dedup.DUP_RANGES_MULTI_SQL})",
+)
+def q_dup_ranges_variants(spark, sf_dir):
+    """Duplicated cut/mask word-intervals: the single-n (8-gram island
+    merge) and multi-n (union of 8- and 16-gram spans) forms in one
+    labeled-union gate; the 4th column is each form's span-count
+    aliased to `n`."""
+    r8 = q_dup_ranges(spark, sf_dir).select(
+        "doc_id",
+        "start_pos",
+        "end_pos",
+        F.col("n_grams").cast("long").alias("n"),
+        F.lit("n8").alias("variant"),
+    )
+    rm = q_dup_ranges_multi(spark, sf_dir).select(
+        "doc_id",
+        "start_pos",
+        "end_pos",
+        F.col("n_spans").cast("long").alias("n"),
+        F.lit("multi").alias("variant"),
+    )
+    return r8.unionByName(rm)
+
+
+@register(
+    "embedding_neardup_variants",
+    f"SELECT id_a, id_b, sim, 'exact' AS variant"
+    f" FROM ({retrieval.EMBEDDING_NEARDUP_SQL})"
+    f" UNION ALL SELECT id_a, id_b, sim, 'lsh' AS variant"
+    f" FROM ({retrieval.EMBEDDING_NEARDUP_LSH_SQL})",
+)
+def q_embedding_neardup_variants(spark, sf_dir):
+    """Embedding near-dup pairs: the bounded exact utility (id-block
+    all-pairs) and the production hyperplane-LSH path in one gate; the
+    LSH tag's equality against its uncapped exact oracle proves
+    recall=1 at the threshold."""
+    ex = q_embedding_neardup(spark, sf_dir).withColumn(
+        "variant", F.lit("exact")
+    )
+    ls = q_embedding_neardup_lsh(spark, sf_dir).withColumn(
+        "variant", F.lit("lsh")
+    )
+    return ex.unionByName(ls)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation gates (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+@register("repetition_stats", curation.REPETITION_STATS_SQL)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality features + keep flag (word-level
+    Rae et al. 2021 rules) — one Arrow scan, zero shuffles; the oracle
+    is the 4-exchange relational spec."""
+    return curation.repetition_stats(_docs(spark, sf_dir))
+
+
+@register("contamination_check", curation.CONTAMINATION_SQL)
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: word-8-gram overlap of every train doc
+    against the broadcast benchmark gram set, over the variant corpus so
+    planted eval-leaks are actually flagged."""
+    return curation.contamination_check(_docs(spark, sf_dir))
+
+
+@register("quota_sample", curation.QUOTA_SAMPLE_SQL)
+def q_quota_sample(spark, sf_dir):
+    """Deterministic stratified quota sample: k smallest hash keys per
+    language via broadcast slack-threshold pre-filter + exact rank over
+    survivors (no full per-stratum sort)."""
+    return curation.quota_sample(_docs(spark, sf_dir))
+
+
+@register("pack_sequences", curation.PACK_SEQUENCES_SQL)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing via a two-phase
+    distributed prefix sum (block-partitioned windows + broadcast block
+    offsets); the oracle is the flat one-window spec."""
+    return curation.pack_sequences(_docs(spark, sf_dir))
+
+
 @register("simhash_fingerprints_variants", dedup.SIMHASH_FP_VARIANTS_SQL)
 def q_simhash_fp_variants(spark, sf_dir):
     """SimHash fingerprints, 32- and 64-bit forms in one gate (bit-exact
@@ -1168,13 +1301,14 @@ _GATE_ORDER = [
     "minhash_lsh",
     "simhash_fingerprints_variants",
     "dedup_clusters",
-    "simhash_pairs_banded",
-    "simhash64_pairs_banded",
+    "simhash_pairs_banded_variants",
     "ngram_jaccard",
-    "dup_ngram_spans",
-    "dup_ngram_spans_hashed",
-    "dup_ranges",
-    "dup_ranges_multi",
+    "dup_ngram_spans_variants",
+    "dup_ranges_variants",
+    "repetition_stats",
+    "contamination_check",
+    "quota_sample",
+    "pack_sequences",
     "pipeline_end_to_end",
     "lang_id",
     "quality_score",
@@ -1184,8 +1318,7 @@ _GATE_ORDER = [
     "cosine_topk",
     "ivf_topk",
     "ivf_kmeans_topk",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
+    "embedding_neardup_variants",
     "bm25_topk",
     "hybrid_topk",
     "rerank_topk",

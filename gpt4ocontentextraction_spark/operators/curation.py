@@ -1,0 +1,486 @@
+"""Corpus-curation operators for a training-data pipeline: Gopher-style
+repetition quality filters, benchmark contamination checks, stratified
+quota sampling, and concat-and-chunk sequence packing.
+
+These extend the engine beyond the reference's extraction surface (the
+reference stops at chunk+embed, docker/main.py:700-780) with the cleaning
+steps a 100-TB pretraining pipeline runs over the extracted text:
+
+- ``repetition_stats``    — per-doc duplicate-word / duplicate-bigram /
+  top-gram fractions with a keep flag (the Rae et al. 2021 "Gopher rules"
+  repetition family, word-level since the corpus has no line structure).
+- ``contamination_check`` — word-n-gram overlap of every training doc
+  against a benchmark/eval doc set (the GPT-3-appendix-C decontamination
+  shape: flag docs sharing n-grams with evaluation data).
+- ``quota_sample``        — deterministic stratified top-k-by-hash sample
+  per language (quota/stratified sampling for corpus mixing).
+- ``pack_sequences``      — global concat-and-chunk token packing: every
+  doc's position in the fixed-size training-sequence stream (GPT-style
+  document packing), via a two-phase distributed prefix sum.
+
+Engine paths are JVM expressions / one-pass Arrow kernels with shuffles
+keyed only by doc-local or gram keys; each has a bit-exact DuckDB oracle
+(fractions floor-rounded at 1e-4 like textstats.quality_score so both
+engines compare equal under value hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _fl4(c: Column) -> Column:
+    """floor-round to 4 decimals — drift-free across engines."""
+    return F.floor(c * 10000) / 10000
+
+
+def _docs_base(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Gopher-style repetition statistics
+# ---------------------------------------------------------------------------
+
+# keep thresholds (word-level analogs of the Gopher line/paragraph rules)
+REP_TOP_WORD_MAX = 0.10  # most frequent word  <= 10% of tokens
+REP_DUP_BIGRAM_MAX = 0.60  # tokens in repeated bigrams <= 60%
+
+
+def _rep_stats_udf():
+    """One-pass per-doc counters (n_words, top_word, dup_words, n_bigrams,
+    top_bigram, dup_bigrams) as an Arrow-batched kernel: a single corpus
+    scan with ZERO shuffles — the 100-TB shape for embarrassingly
+    per-document statistics (vs the 4-exchange relational form the oracle
+    uses as spec). Per-row Counter loop inside the Arrow batch is the same
+    batch-amortized pattern as retrieval._bm25_tf_udf."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<n_words: long, top_w: long, dup_w: long,"
+        " n_bi: long, top_bi: long, dup_bi: long>"
+    )
+    def rep_stats(texts):
+        rows = []
+        for t in texts.tolist():
+            if t is None or t != t:
+                rows.append((None, None, None, None, None, None))
+                continue
+            ws = t.split(" ")
+            wc = Counter(ws)
+            bis = Counter(zip(ws, ws[1:]))
+            rows.append(
+                (
+                    len(ws),
+                    max(wc.values()) if wc else 0,
+                    sum(c for c in wc.values() if c >= 2),
+                    sum(bis.values()),
+                    max(bis.values()) if bis else 0,
+                    sum(c for c in bis.values() if c >= 2),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["n_words", "top_w", "dup_w", "n_bi", "top_bi", "dup_bi"]
+        )
+
+    return rep_stats
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition-quality features + keep flag.
+
+    Word-level Gopher rules (Rae et al. 2021 §A1.1 applied at word
+    granularity — the synthetic corpus has no newlines, so the line/
+    paragraph variants degenerate to these):
+
+    - top_word_frac:   occurrences of the most frequent word / n_words
+    - dup_word_frac:   occurrences of words appearing >= 2 times / n_words
+    - top_bigram_frac: occurrences of the most frequent bigram / n_bigrams
+    - dup_bigram_frac: occurrences of bigrams appearing >= 2x / n_bigrams
+    - keep: 1 iff top_word_frac <= 0.10 AND dup_bigram_frac <= 0.60
+
+    One Arrow scan, no shuffle (stats are doc-local)."""
+    stats = _docs_base(docs).select(
+        "doc_id", _rep_stats_udf()(F.col("text")).alias("s")
+    )
+    nw = F.col("s.n_words").cast("double")
+    nb = F.greatest(F.col("s.n_bi"), F.lit(1)).cast("double")
+    top_word_frac = _fl4(F.col("s.top_w") / nw)
+    dup_bigram_frac = _fl4(F.col("s.dup_bi") / nb)
+    return stats.select(
+        "doc_id",
+        F.col("s.n_words").alias("n_words"),
+        top_word_frac.alias("top_word_frac"),
+        _fl4(F.col("s.dup_w") / nw).alias("dup_word_frac"),
+        _fl4(F.col("s.top_bi") / nb).alias("top_bigram_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        (
+            (top_word_frac <= REP_TOP_WORD_MAX)
+            & (dup_bigram_frac <= REP_DUP_BIGRAM_MAX)
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+REPETITION_STATS_SQL = f"""
+WITH rwords AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, w, pos
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+           UNNEST(range(len(string_split(text, ' ')))) AS pos
+    FROM documents
+  )
+),
+rbigrams AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM rwords
+  QUALIFY g IS NOT NULL
+),
+wcnt AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM rwords GROUP BY doc_id, w
+),
+wagg AS (
+  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_w,
+         COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_w
+  FROM wcnt GROUP BY doc_id
+),
+bcnt AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM rbigrams GROUP BY doc_id, g
+),
+bagg AS (
+  SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi,
+         COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_bi
+  FROM bcnt GROUP BY doc_id
+),
+rfeat AS (
+  SELECT w.doc_id, w.n_words,
+    floor(w.top_w / CAST(w.n_words AS DOUBLE) * 10000) / 10000 AS top_word_frac,
+    floor(w.dup_w / CAST(w.n_words AS DOUBLE) * 10000) / 10000 AS dup_word_frac,
+    floor(COALESCE(b.top_bi, 0)
+          / CAST(greatest(COALESCE(b.n_bi, 0), 1) AS DOUBLE) * 10000) / 10000
+      AS top_bigram_frac,
+    floor(COALESCE(b.dup_bi, 0)
+          / CAST(greatest(COALESCE(b.n_bi, 0), 1) AS DOUBLE) * 10000) / 10000
+      AS dup_bigram_frac
+  FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  top_word_frac, dup_word_frac, top_bigram_frac, dup_bigram_frac,
+  CAST(top_word_frac <= {REP_TOP_WORD_MAX}
+       AND dup_bigram_frac <= {REP_DUP_BIGRAM_MAX} AS BIGINT) AS keep
+FROM rfeat
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 8  # word n-gram width (matches the substring-dedup gram width)
+CONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 -> benchmark/eval member
+CONTAM_FLAG_MIN = 0.05  # flag docs with >= 5% contaminated gram positions
+
+
+def _word_ngrams(corpus: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) for every contiguous word n-gram, via n-1 window
+    leads partitioned by doc_id (a per-doc sort, no corpus-wide state)."""
+    words = corpus.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("w0")] + [
+        F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, n)
+    ]
+    return (
+        words.select("doc_id", "pos", *cols)
+        .where(F.col(f"w{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("gram"),
+        )
+    )
+
+
+def contamination_check(docs: DataFrame) -> DataFrame:
+    """Train-vs-benchmark n-gram overlap (the GPT-3 appendix-C / PaLM
+    decontamination shape): the benchmark set is every doc with
+    doc_id % 97 == 0 (a stand-in for held-out eval data); every OTHER
+    doc reports how many of its word-8-gram positions occur anywhere in
+    the benchmark set, and is flagged at >= 5% overlap.
+
+    Runs over the dedup family's VARIANT corpus (documents + truncated
+    near-duplicates at doc_id+10^6, dedup._variant_corpus) so the gate
+    exercises real contamination: 10^6 % 97 != 0 puts every benchmark
+    doc's near-duplicate in the TRAIN side with 100% gram overlap — the
+    planted leaked-eval-doc case the operator exists to catch (plus the
+    reverse direction: base docs whose variant drew a benchmark id, and
+    natural exact-duplicate pairs straddling the split).
+
+    Scale shape: the benchmark gram set is distinct-aggregated and
+    BROADCAST (eval suites are tiny relative to the corpus — the join
+    must not shuffle 100 TB of train grams by gram string); per-doc
+    aggregation shuffles only (doc_id) pairs."""
+    from .dedup import _variant_corpus
+
+    corpus = _variant_corpus(docs)
+    grams = _word_ngrams(corpus, CONTAM_N)
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = grams.where(is_bench).select("gram").distinct()
+    train = grams.where(~is_bench)
+    marked = train.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+    )
+    base = corpus.where(~is_bench).select("doc_id")
+    frac = _fl4(
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)).cast(
+            "double"
+        )
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        frac.alias("contam_frac"),
+        (frac >= CONTAM_FLAG_MIN).cast("long").alias("flagged"),
+    )
+
+
+def _contamination_sql() -> str:
+    from .dedup import DUCK_VARIANT_CORPUS
+
+    return f"""
+WITH {DUCK_VARIANT_CORPUS.strip()},
+cwords AS (
+  SELECT doc_id, w, pos
+  FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+           UNNEST(range(len(string_split(text, ' ')))) AS pos
+    FROM corpus
+  )
+),
+cgrams AS (
+  SELECT doc_id,
+    {" || ' ' || ".join(
+        f"lead(w, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        if i else "w"
+        for i in range(CONTAM_N)
+    )} AS gram
+  FROM cwords
+  QUALIFY lead(w, {CONTAM_N - 1}) OVER (PARTITION BY doc_id ORDER BY pos)
+          IS NOT NULL
+),
+cbench AS (
+  SELECT DISTINCT gram FROM cgrams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+),
+ctrain AS (
+  SELECT doc_id, gram FROM cgrams WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+),
+cagg AS (
+  SELECT t.doc_id, COUNT(*) AS n_grams,
+         COALESCE(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
+           AS n_contaminated
+  FROM ctrain t LEFT JOIN cbench b ON t.gram = b.gram
+  GROUP BY t.doc_id
+),
+cout AS (
+  SELECT d.doc_id,
+    COALESCE(a.n_grams, 0) AS n_grams,
+    COALESCE(a.n_contaminated, 0) AS n_contaminated,
+    floor(COALESCE(a.n_contaminated, 0)
+          / CAST(greatest(COALESCE(a.n_grams, 0), 1) AS DOUBLE)
+          * 10000) / 10000 AS contam_frac
+  FROM (SELECT doc_id FROM corpus
+        WHERE doc_id % {CONTAM_BENCH_MOD} <> 0) d
+  LEFT JOIN cagg a ON d.doc_id = a.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_contaminated AS BIGINT) AS n_contaminated, contam_frac,
+  CAST(contam_frac >= {CONTAM_FLAG_MIN} AS BIGINT) AS flagged
+FROM cout
+"""
+
+
+CONTAMINATION_SQL = _contamination_sql()
+
+
+# ---------------------------------------------------------------------------
+# 3. Stratified quota sampling
+# ---------------------------------------------------------------------------
+
+QUOTA_K = 50  # docs kept per language stratum
+_QH_A = 1103515245
+_QH_B = 12345
+_QH_MOD = 2_147_483_647
+
+
+def _sample_key() -> Column:
+    """Deterministic pseudo-random sort key from doc_id, identical integer
+    arithmetic on both engines (doc_id is reduced mod 2^31-1 first so the
+    multiply stays < 2^62 — no BIGINT overflow at 10^12 doc_ids under
+    ANSI)."""
+    return (
+        (F.col("doc_id") % _QH_MOD) * _QH_A + _QH_B
+    ) % _QH_MOD
+
+
+def quota_sample(docs: DataFrame, k: int = QUOTA_K) -> DataFrame:
+    """Deterministic stratified sample: the k docs with the smallest hash
+    key per language (corpus-mixing quota sampling; C4/Raffel et al.-style
+    deterministic selection rather than rand()).
+
+    Scale shape: a per-stratum row_number over 10^12 rows would sort each
+    language's full partition on one reducer. Instead: (1) one partial-agg
+    count per stratum, (2) a broadcast slack threshold thr = key-space *
+    (k/n) * slack that keeps ~k*slack survivors per stratum, (3) exact
+    window rank over the tiny survivor set, (4) a driver-side check that
+    every stratum still yielded min(k, n) rows — if the uniform-hash bound
+    ever fails, the slack doubles and the filter re-runs (never in
+    practice; the loop is the correctness proof, not the fast path)."""
+    base = _docs_base(docs).select(
+        "doc_id", "lang", _sample_key().alias("sample_key")
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in base.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    slack = 8.0
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    while True:
+        thr = [
+            (lang, int(min(_QH_MOD, _QH_MOD * slack * k / max(n, 1))))
+            for lang, n in sorted(counts.items())
+        ]
+        thr_df = base.sparkSession.createDataFrame(
+            thr, "lang string, thr long"
+        )
+        survivors = base.join(F.broadcast(thr_df), "lang").where(
+            F.col("sample_key") <= F.col("thr")
+        )
+        ranked = (
+            survivors.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(
+                "doc_id", "lang", "sample_key", F.col("rn").cast("long")
+            )
+        )
+        got = {
+            r["lang"]: r["n"]
+            for r in ranked.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        if all(got.get(lang, 0) >= min(k, n) for lang, n in counts.items()):
+            return ranked
+        slack *= 2  # pragma: no cover — hash-uniformity bound failed
+
+
+QUOTA_SAMPLE_SQL = f"""
+WITH qkeyed AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+    ((CAST(doc_id AS BIGINT) % {_QH_MOD}) * {_QH_A} + {_QH_B}) % {_QH_MOD}
+      AS sample_key
+  FROM documents
+),
+qranked AS (
+  SELECT doc_id, lang, sample_key,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS rn
+  FROM qkeyed
+)
+SELECT doc_id, lang, sample_key, CAST(rn AS BIGINT) AS rn
+FROM qranked WHERE rn <= {QUOTA_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 512  # training sequence length (tokens)
+PACK_BLOCK = 64  # docs per prefix-sum block
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """GPT-style document packing: all docs are concatenated in doc_id
+    order into one token stream chopped into fixed seq_len sequences;
+    each doc reports its global token offset and the sequence ids it
+    lands in.
+
+    The global prefix sum is TWO-PHASE so no window ever sees the full
+    corpus: per-doc token counts cumsum WITHIN doc_id-blocks (window
+    partitioned by block, ~PACK_BLOCK rows each), block totals cumsum
+    ACROSS blocks (one window over n/PACK_BLOCK aggregated rows,
+    broadcast back). At 10^12 docs the block level recurses to ~3
+    hierarchical levels — same algebra, documented in SCALE.md; the
+    oracle is the flat one-window spec."""
+    toks = _docs_base(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id DIV {PACK_BLOCK} AS block"),
+    )
+    btot = toks.groupBy("block").agg(F.sum("n_tokens").alias("bt"))
+    wb = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "block", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("boff")
+    )
+    ww = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = toks.withColumn(
+        "woff", F.coalesce(F.sum("n_tokens").over(ww), F.lit(0))
+    )
+    j = within.join(F.broadcast(boff), "block")
+    start = F.col("boff") + F.col("woff")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.expr(f"(boff + woff) DIV {seq_len}").alias("first_seq"),
+        F.expr(f"(boff + woff + n_tokens - 1) DIV {seq_len}").alias(
+            "last_seq"
+        ),
+        (
+            F.expr(f"(boff + woff + n_tokens - 1) DIV {seq_len}")
+            - F.expr(f"(boff + woff) DIV {seq_len}")
+            + 1
+        ).alias("n_seqs"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH ptoks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+poff AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM ptoks
+)
+SELECT doc_id, n_tokens, start_offset,
+  start_offset // {PACK_SEQ_LEN} AS first_seq,
+  (start_offset + n_tokens - 1) // {PACK_SEQ_LEN} AS last_seq,
+  (start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+    - start_offset // {PACK_SEQ_LEN} + 1 AS n_seqs
+FROM poff
+"""

@@ -15,8 +15,12 @@ def test_persisting_queries_release_clean(spark):
     """Materialize the heaviest persisting operators back-to-back with a
     release between them (as the gate wrapper does); afterwards the
     context holds zero persisted RDDs."""
-    from gpt4ocontentextraction_spark.driver_contract import QUERIES
+    from gpt4ocontentextraction_spark.driver_contract import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
 
+    lookup = {**EXTRA_QUERIES, **QUERIES}
     release_all()  # isolate from any earlier test's tracked persists
     for name in (
         "minhash_lsh",
@@ -24,7 +28,7 @@ def test_persisting_queries_release_clean(spark):
         "embedding_neardup_lsh",
         "hybrid_topk",
     ):
-        QUERIES[name](spark, SF).count()
+        lookup[name](spark, SF).count()
         release_all()
     assert n_persistent(spark) == 0
 
