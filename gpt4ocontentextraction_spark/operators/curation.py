@@ -109,9 +109,14 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     - dup_bigram_frac: occurrences of bigrams appearing >= 2x / n_bigrams
     - keep: 1 iff top_word_frac <= 0.10 AND dup_bigram_frac <= 0.60
 
+    NULL-text documents emit no row (the oracle's UNNEST over a NULL
+    split yields zero rows; the engine filters to the same contract).
+
     One Arrow scan, no shuffle (stats are doc-local)."""
-    stats = _docs_base(docs).select(
-        "doc_id", _rep_stats_udf()(F.col("text")).alias("s")
+    stats = (
+        _docs_base(docs)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", _rep_stats_udf()(F.col("text")).alias("s"))
     )
     nw = F.col("s.n_words").cast("double")
     nb = F.greatest(F.col("s.n_bi"), F.lit(1)).cast("double")
@@ -193,23 +198,20 @@ CONTAM_FLAG_MIN = 0.05  # flag docs with >= 5% contaminated gram positions
 
 
 def _word_ngrams(corpus: DataFrame, n: int) -> DataFrame:
-    """(doc_id, gram) for every contiguous word n-gram, via n-1 window
-    leads partitioned by doc_id (a per-doc sort, no corpus-wide state)."""
-    words = corpus.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w0")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("w0")] + [
-        F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, n)
-    ]
-    return (
-        words.select("doc_id", "pos", *cols)
-        .where(F.col(f"w{n - 1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("gram"),
-        )
+    """(doc_id, pos, gram) for every contiguous word n-gram, via the
+    dedup family's one-pass Arrow kernel (dedup._gram_spans_udf). The
+    lead()-window-over-exploded-words alternative shuffles the whole
+    exploded corpus by doc_id before any aggregation — the exact trap
+    that kernel's docstring names — so gram extraction here is a pure
+    scan with zero pre-shuffle."""
+    from .dedup import _gram_spans_udf
+
+    return corpus.select(
+        "doc_id", F.explode(_gram_spans_udf(n)("text")).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
     )
 
 
@@ -228,14 +230,17 @@ def contamination_check(docs: DataFrame) -> DataFrame:
     reverse direction: base docs whose variant drew a benchmark id, and
     natural exact-duplicate pairs straddling the split).
 
-    Scale shape: the benchmark gram set is distinct-aggregated and
-    BROADCAST (eval suites are tiny relative to the corpus — the join
-    must not shuffle 100 TB of train grams by gram string); per-doc
-    aggregation shuffles only (doc_id) pairs."""
+    Scale shape: gram extraction is one Arrow scan with zero pre-shuffle
+    (shared kernel with dup_ngram_spans), track()-persisted because both
+    the bench and train arms consume it; the benchmark gram set is
+    distinct-aggregated and BROADCAST (eval suites are tiny relative to
+    the corpus — the join must not shuffle 100 TB of train grams by gram
+    string); per-doc aggregation shuffles only (doc_id) pairs."""
+    from ..cached import track
     from .dedup import _variant_corpus
 
     corpus = _variant_corpus(docs)
-    grams = _word_ngrams(corpus, CONTAM_N)
+    grams = track(_word_ngrams(corpus, CONTAM_N))
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = grams.where(is_bench).select("gram").distinct()
     train = grams.where(~is_bench)
@@ -354,7 +359,10 @@ def quota_sample(docs: DataFrame, k: int = QUOTA_K) -> DataFrame:
     window rank over the tiny survivor set, (4) a driver-side check that
     every stratum still yielded min(k, n) rows — if the uniform-hash bound
     ever fails, the slack doubles and the filter re-runs (never in
-    practice; the loop is the correctness proof, not the fast path)."""
+    practice; the loop is the correctness proof, not the fast path).
+
+    NULL lang is a stratum of its own, matching the oracle's window
+    partitioning (the threshold join is null-safe)."""
     base = _docs_base(docs).select(
         "doc_id", "lang", _sample_key().alias("sample_key")
     )
@@ -367,13 +375,20 @@ def quota_sample(docs: DataFrame, k: int = QUOTA_K) -> DataFrame:
     while True:
         thr = [
             (lang, int(min(_QH_MOD, _QH_MOD * slack * k / max(n, 1))))
-            for lang, n in sorted(counts.items())
+            for lang, n in sorted(
+                counts.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            )
         ]
         thr_df = base.sparkSession.createDataFrame(
             thr, "lang string, thr long"
         )
-        survivors = base.join(F.broadcast(thr_df), "lang").where(
-            F.col("sample_key") <= F.col("thr")
+        survivors = (
+            base.join(
+                F.broadcast(thr_df),
+                base["lang"].eqNullSafe(thr_df["lang"]),
+            )
+            .where(F.col("sample_key") <= F.col("thr"))
+            .select(base["doc_id"], base["lang"], base["sample_key"])
         )
         ranked = (
             survivors.withColumn("rn", F.row_number().over(w))
