@@ -165,6 +165,35 @@ def run_headline(results: dict) -> float:
         results[name] = round(dt, 3)
         total += dt
         release_all()  # drop this query's operator-internal persists
+        if name == "hybrid_topk":
+            # ADVICE r4 shared-index form, measured alongside the honest
+            # cold number (which alone counts toward the headline total):
+            # a sweep serving many queries builds the BM25 score index
+            # once (bm25_index_build) and each hybrid call then skips the
+            # scoring pass (hybrid_topk_warm). Parity of the warm form is
+            # gate-pinned (EXTRA gate hybrid_topk_warm, same oracle).
+            try:
+                from gpt4ocontentextraction_spark.operators import (
+                    retrieval,
+                )
+
+                docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                t0 = time.perf_counter()
+                ix = retrieval.bm25_index(docs)
+                results["bm25_index_build"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                t0 = time.perf_counter()
+                _noop_write(
+                    retrieval.hybrid_rrf_topk(spark, SF_DIR, bm25_scores=ix)
+                )
+                results["hybrid_topk_warm"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                ix.unpersist(blocking=False)
+            except Exception:
+                pass
+            release_all()
     spark.stop()
     return total
 

@@ -969,6 +969,22 @@ def q_hybrid_topk(spark, sf_dir):
     return retrieval.hybrid_rrf_topk(spark, sf_dir)
 
 
+@register_extra("hybrid_topk_warm", retrieval.HYBRID_RRF_SQL)
+def q_hybrid_topk_warm(spark, sf_dir):
+    """Hybrid top-5 through the intentional shared-index form (ADVICE
+    r4): the BM25 score relation is prebuilt once via bm25_index() and
+    passed in, the way a sweep serving many queries amortizes the
+    scoring pass. Same oracle as hybrid_topk — parity proves the
+    parameter cannot change results."""
+    ix = retrieval.bm25_index(_docs(spark, sf_dir))
+    try:
+        # the returned relation is driver-local/bounded, so the index
+        # can be released before the caller materializes it
+        return retrieval.hybrid_rrf_topk(spark, sf_dir, bm25_scores=ix)
+    finally:
+        ix.unpersist(blocking=False)
+
+
 @register("rerank_topk", retrieval.RERANK_TOPK_SQL)
 def q_rerank_topk(spark, sf_dir):
     """Two-stage retrieve-then-rerank (BM25 top-20 -> cosine top-3), the

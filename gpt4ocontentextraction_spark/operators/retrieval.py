@@ -939,6 +939,25 @@ def bm25_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def bm25_index(docs: DataFrame) -> DataFrame:
+    """Materialized (doc_id, bm25) score relation for the fixed KEYWORDS
+    query — the explicit shared-index form of BM25 scoring (ADVICE r4:
+    share the score relation intentionally across bm25/hybrid calls
+    within one sweep instead of re-paying the tf-UDF scoring pass per
+    query, the way a real engine builds a lexical index once and serves
+    many queries from it).
+
+    The caller OWNS the returned persist and must ``unpersist()`` it (or
+    run ``cached.release_all()``) when done; ``hybrid_rrf_topk(...,
+    bm25_scores=ix)`` will not release a caller-provided relation. The
+    per-query cache-hygiene contract (gate wrapper / bench hold <= 1
+    query's persists) is unchanged — this is an opt-in, explicitly
+    owned lifetime, not a leak."""
+    ix = _bm25_scores(docs).persist()
+    ix.count()  # materialize the index build here, not in the first query
+    return ix
+
+
 def _duck_bm25_ctes() -> str:
     tf_cols = ", ".join(
         f"CAST(len(list_filter(ws, w -> w = '{t}')) AS BIGINT) AS tf{i}"
@@ -1100,7 +1119,12 @@ def _min_ncand_excluding(theta0: float, lo: int) -> int:
 
 
 def hybrid_rrf_topk(
-    spark, sf_dir, k: int = 5, query_id: int = 0, n_cand: int = HYBRID_N_CAND
+    spark,
+    sf_dir,
+    k: int = 5,
+    query_id: int = 0,
+    n_cand: int = HYBRID_N_CAND,
+    bm25_scores: DataFrame = None,
 ) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion (1/(60+r_bm25) +
     1/(60+r_cos)) of the BM25 and cosine rankings against the embedding
@@ -1154,7 +1178,14 @@ def hybrid_rrf_topk(
     next iteration exits. The returned relation is a driver-local
     bounded result (<= k + |resolved| rows), so the persisted score
     tables can be released before returning without the caller's
-    materialization re-running the scorers."""
+    materialization re-running the scorers.
+
+    ``bm25_scores``: an optional prebuilt (doc_id, bm25) relation from
+    ``bm25_index(docs)`` — the intentional shared-index form (ADVICE
+    r4). When provided, the BM25 scoring pass (the tf UDF + corpus
+    stats, ~the whole bm25 cost at sf0.1) is skipped and the caller
+    keeps ownership of the persist; results are identical (gate
+    ``hybrid_topk_warm`` pins this against the same oracle)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = _emb(spark, sf_dir)
     found, qv = _fetch_qvec(spark, sf_dir, query_id)
@@ -1181,8 +1212,10 @@ def hybrid_rrf_topk(
         ).alias("sim")
     # both scored relations are consumed per doubling iteration and by
     # the (rare) order-statistic resolution; persisted ONCE for the
-    # whole loop and released in the finally block.
-    bm = _bm25_scores(docs).persist()
+    # whole loop and released in the finally block (a caller-provided
+    # index stays the caller's to release).
+    own_bm = bm25_scores is None
+    bm = _bm25_scores(docs).persist() if own_bm else bm25_scores
     cos = emb.select(
         F.col("vec_id").cast("long").alias("doc_id"), sim_col
     ).persist()
@@ -1400,7 +1433,8 @@ def hybrid_rrf_topk(
         )[:k]
         return _local(fused)
     finally:
-        bm.unpersist(blocking=False)
+        if own_bm:
+            bm.unpersist(blocking=False)
         cos.unpersist(blocking=False)
 
 

@@ -51,6 +51,16 @@ def test_repetition_stats_edges(spark, tiny_docs):
     assert r4["keep"] == 0
 
 
+def test_repetition_stats_null_text_emits_no_row(spark):
+    # the oracle's UNNEST over a NULL split yields zero rows; the engine
+    # must match (it previously emitted a null-metrics row — r5 review)
+    docs = spark.createDataFrame(
+        [(1, None, "en"), (2, "a b a", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert [r["doc_id"] for r in C.repetition_stats(docs).collect()] == [2]
+
+
 def test_repetition_scan_has_no_exchange(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = physical_plan(C.repetition_stats(docs))
@@ -122,6 +132,23 @@ def test_quota_sample_exact_per_stratum(spark):
         for r in C.quota_sample(docs, k=25).collect()
     )
     assert a == b
+
+
+def test_quota_sample_null_lang_is_a_stratum(spark):
+    # NULL lang must behave as its own stratum (oracle window semantics):
+    # an equi-join on lang never matches NULL, which previously starved
+    # the coverage check and doubled slack forever (r5 review)
+    docs = spark.createDataFrame(
+        [(1, "x y", None), (2, "y z", "en"), (3, "z w", None)],
+        "doc_id long, text string, lang string",
+    )
+    rows = sorted(
+        C.quota_sample(docs, k=1).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [(r["doc_id"], r["lang"], r["rn"]) for r in rows] == [
+        (1, None, 1),
+        (2, "en", 1),
+    ]
 
 
 def test_quota_sample_windows_only_survivors(spark):
