@@ -86,6 +86,9 @@ HEADLINE = (
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",
+    "semdedup_k64",
+    "unigram_logprob",
+    "dsir_weights",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",
@@ -714,12 +717,47 @@ def _kern_task(_i: int) -> int:
     return _extract_batch(_KERN_BATCH).num_rows
 
 
+def _pooled_history() -> tuple[list, list, list, list]:
+    """Clean-pair efficiencies pooled across every recorded run
+    (RUNS.jsonl is append-only; headline-only reruns carry MERGED
+    scaling data copied from the previous run and are skipped so no
+    round is double-counted)."""
+    files_clean: list = []
+    fused_clean: list = []
+    files_vs_ceil: list = []
+    ceils: list = []
+    try:
+        with open(os.path.join(_REPO, "BENCH", "RUNS.jsonl")) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("bench_only") == "headline":
+                    continue
+                sc = e.get("scaling", {})
+                files_clean += sc.get("files_per_round_efficiency_clean", [])
+                fused_clean += sc.get("fused_per_round_efficiency_clean", [])
+                v = sc.get("files_efficiency_vs_host_ceiling")
+                if v is not None:
+                    files_vs_ceil.append(v)
+                ceils += sc.get("per_round_host_ceiling", [])
+    except OSError:
+        pass
+    return files_clean, fused_clean, files_vs_ceil, ceils
+
+
 def write_baseline_md(payload: dict) -> None:
+    import statistics as _st
+
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
     s = payload["scaling"]
     lo, hi = s["levels"]
     ceil_main = s["host_ceiling_same_levels"]
     ceil_ctrl = s["host_ceiling_4_16"]
+    # write_baseline_md runs after this run is appended to RUNS.jsonl,
+    # so the pooled numbers quoted in the contract line include it
+    p_files, p_fused, p_vs_ceil, p_ceils = _pooled_history()
     lines = [
         "# BENCH/BASELINE.md — measured numbers",
         "",
@@ -738,7 +776,14 @@ def write_baseline_md(payload: dict) -> None:
         f" per-round {s.get('files_per_round_efficiency')},"
         f" clean {s.get('files_per_round_efficiency_clean')});"
         f" vs same-window host ceiling:"
-        f" **{s.get('files_efficiency_vs_host_ceiling')}**",
+        f" **{s.get('files_efficiency_vs_host_ceiling')}**."
+        f" POOLED ACROSS ALL RECORDED RUNS (the robust contract number,"
+        f" {len(p_files)} clean pairs): raw"
+        f" **{round(_st.median(p_files), 3) if p_files else None}**,"
+        f" vs-ceiling per-run median"
+        f" **{round(_st.median(p_vs_ceil), 3) if p_vs_ceil else None}**"
+        f" — best genuinely-idle window 0.989 raw (run 6); see the"
+        f" cross-run section below",
         f"- FUSED python-scan path (sources/pyscan.py — the composable"
         f" production plan per SCALE.md, output spans feed downstream"
         f" operators; gate query extract_spans_pyscan): throughput"
@@ -905,53 +950,25 @@ def write_baseline_md(payload: dict) -> None:
     # Cross-run evidence: one run's windows are one host-weather sample;
     # the pooled clean pairs across every recorded run (RUNS.jsonl is
     # append-only) are the robust statement of the contract number.
-    hist_path = os.path.join(_REPO, "BENCH", "RUNS.jsonl")
-    try:
-        import statistics as _st
-
-        files_clean: list = []
-        fused_clean: list = []
-        files_vs_ceil: list = []
-        ceils: list = []
-        with open(hist_path) as f:
-            for line in f:
-                try:
-                    e = json.loads(line)
-                except ValueError:
-                    continue
-                if e.get("bench_only") == "headline":
-                    # a headline-only rerun carries MERGED scaling data
-                    # copied from the previous run — pooling it would
-                    # double-count that run's rounds
-                    continue
-                sc = e.get("scaling", {})
-                files_clean += sc.get("files_per_round_efficiency_clean", [])
-                fused_clean += sc.get("fused_per_round_efficiency_clean", [])
-                v = sc.get("files_efficiency_vs_host_ceiling")
-                if v is not None:
-                    files_vs_ceil.append(v)
-                ceils += sc.get("per_round_host_ceiling", [])
-        if files_clean or fused_clean:
-            lines += [
-                "",
-                "## Cross-run evidence (pooled from BENCH/RUNS.jsonl)",
-                "",
-                f"- terminal-job clean-pair efficiencies, all recorded"
-                f" runs: {files_clean} -> median"
-                f" **{round(_st.median(files_clean), 3) if files_clean else None}**",
-                f"- terminal-job vs same-window host ceiling, per-run"
-                f" medians: {files_vs_ceil} -> median"
-                f" **{round(_st.median(files_vs_ceil), 3) if files_vs_ceil else None}**",
-                f"- fused clean-pair efficiencies, all runs: {fused_clean}"
-                f" -> median"
-                f" {round(_st.median(fused_clean), 3) if fused_clean else None}",
-                f"- host ceilings observed across all rounds: {ceils}"
-                f" -> median {round(_st.median(ceils), 3) if ceils else None}"
-                f" (the box's own limit; < 0.8 in most windows even at"
-                f" idle starts)",
-            ]
-    except OSError:
-        pass
+    if p_files or p_fused:
+        lines += [
+            "",
+            "## Cross-run evidence (pooled from BENCH/RUNS.jsonl)",
+            "",
+            f"- terminal-job clean-pair efficiencies, all recorded"
+            f" runs: {p_files} -> median"
+            f" **{round(_st.median(p_files), 3) if p_files else None}**",
+            f"- terminal-job vs same-window host ceiling, per-run"
+            f" medians: {p_vs_ceil} -> median"
+            f" **{round(_st.median(p_vs_ceil), 3) if p_vs_ceil else None}**",
+            f"- fused clean-pair efficiencies, all runs: {p_fused}"
+            f" -> median"
+            f" {round(_st.median(p_fused), 3) if p_fused else None}",
+            f"- host ceilings observed across all rounds: {p_ceils}"
+            f" -> median {round(_st.median(p_ceils), 3) if p_ceils else None}"
+            f" (the box's own limit; < 0.8 in most windows even at"
+            f" idle starts)",
+        ]
     with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

@@ -954,6 +954,24 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return retrieval.embedding_neardup_lsh(spark, sf_dir)
 
 
+@register_extra("semdedup", retrieval.SEMDEDUP_SQL)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup: cluster embeddings,
+    prune near-identical pairs within a cluster, keeping the member
+    farther from its centroid. Deterministic fixed centroids make the
+    full relation (assignment + keeper rule) DuckDB-expressible."""
+    return retrieval.semdedup_pairs(spark, sf_dir)
+
+
+@register_extra("semdedup_k64", retrieval._semdedup_sql(64))
+def q_semdedup_k64(spark, sf_dir):
+    """SemDeDup at K=64 clusters — the bench-scale arm: cluster count
+    grows with the corpus so within-cluster pair sets stay bounded (the
+    paper's regime is K in the tens of thousands at web scale); same
+    parameterized oracle."""
+    return retrieval.semdedup_pairs(spark, sf_dir, n_clusters=64)
+
+
 @register("bm25_topk", retrieval.BM25_TOPK_SQL)
 def q_bm25_topk(spark, sf_dir):
     """BM25 lexical top-5 (tf, idf, length norm — the keyword half of the
@@ -1208,12 +1226,15 @@ def q_dup_ranges_variants(spark, sf_dir):
     f"SELECT id_a, id_b, sim, 'exact' AS variant"
     f" FROM ({retrieval.EMBEDDING_NEARDUP_SQL})"
     f" UNION ALL SELECT id_a, id_b, sim, 'lsh' AS variant"
-    f" FROM ({retrieval.EMBEDDING_NEARDUP_LSH_SQL})",
+    f" FROM ({retrieval.EMBEDDING_NEARDUP_LSH_SQL})"
+    f" UNION ALL SELECT id_kept AS id_a, id_pruned AS id_b, sim,"
+    f" 'semdedup' AS variant FROM ({retrieval.SEMDEDUP_SQL})",
 )
 def q_embedding_neardup_variants(spark, sf_dir):
     """Embedding near-dup pairs: the bounded exact utility (id-block
-    all-pairs) and the production hyperplane-LSH path in one gate; the
-    LSH tag's equality against its uncapped exact oracle proves
+    all-pairs), the production hyperplane-LSH path, and the SemDeDup
+    cluster-then-prune policy (id_a = kept, id_b = pruned) in one gate;
+    the LSH tag's equality against its uncapped exact oracle proves
     recall=1 at the threshold."""
     ex = q_embedding_neardup(spark, sf_dir).withColumn(
         "variant", F.lit("exact")
@@ -1221,7 +1242,13 @@ def q_embedding_neardup_variants(spark, sf_dir):
     ls = q_embedding_neardup_lsh(spark, sf_dir).withColumn(
         "variant", F.lit("lsh")
     )
-    return ex.unionByName(ls)
+    sd = q_semdedup(spark, sf_dir).select(
+        F.col("id_kept").alias("id_a"),
+        F.col("id_pruned").alias("id_b"),
+        "sim",
+        F.lit("semdedup").alias("variant"),
+    )
+    return ex.unionByName(ls).unionByName(sd)
 
 
 # ---------------------------------------------------------------------------
@@ -1259,6 +1286,22 @@ def q_pack_sequences(spark, sf_dir):
     distributed prefix sum (block-partitioned windows + broadcast block
     offsets); the oracle is the flat one-window spec."""
     return curation.pack_sequences(_docs(spark, sf_dir))
+
+
+@register_extra("unigram_logprob", curation.UNIGRAM_LOGPROB_SQL)
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-shape perplexity filter: per-doc average NLL (+ ppl) under
+    the corpus's own unigram LM — decimal-exact order-independent doc
+    sums, vocab relation shuffle-built once and joined back."""
+    return curation.unigram_logprob(_docs(spark, sf_dir))
+
+
+@register_extra("dsir_weights", curation.DSIR_WEIGHTS_SQL)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (target = lang='en' slice
+    vs the raw corpus, Laplace-smoothed log-ratio): the data-selection
+    score a 100-TB mixer samples against."""
+    return curation.dsir_weights(_docs(spark, sf_dir))
 
 
 @register("simhash_fingerprints_variants", dedup.SIMHASH_FP_VARIANTS_SQL)

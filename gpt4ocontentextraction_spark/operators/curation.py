@@ -499,3 +499,193 @@ SELECT doc_id, n_tokens, start_offset,
     - start_offset // {PACK_SEQ_LEN} + 1 AS n_seqs
 FROM poff
 """
+
+
+# ---------------------------------------------------------------------------
+# 5. CCNet-style unigram LM scoring (the perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc average negative log-likelihood under the corpus's own
+    unigram language model — the CCNet (Wenzek et al. 2019) perplexity
+    -filter shape with the external KenLM replaced by the corpus unigram
+    MLE (deterministic, no external model artifact). Downstream keeps
+    the low-perplexity head / drops the tail by filtering on ``avg_nll``
+    or ``ppl``.
+
+    Scale shape: one map-side-combined groupBy on word builds the LM
+    (vocab-sized relation, shuffle-joined back to the token stream — AQE
+    broadcasts it when small), a 1-row total broadcast, and one per-doc
+    groupBy. Per-token NLLs are cast to decimal(38,20) before the doc
+    sum so the aggregate is order-independent (same determinism device
+    as ivf_kmeans_topk's Lloyd updates); both engines then divide the
+    exact sum in float64 and floor at 1e-4."""
+    base = _docs_base(docs)
+    toks = base.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    nll = (
+        -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    ).cast("decimal(38,20)")
+    agg = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (F.sum("nll").cast("double") / F.count("*")).alias("avg_raw"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        _fl4(F.col("avg_raw")).alias("avg_nll"),
+        _fl4(F.exp("avg_raw")).alias("ppl"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH utoks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+uvocab AS (SELECT w, count(*) AS cnt FROM utoks GROUP BY w),
+utot AS (SELECT sum(cnt) AS total FROM uvocab),
+unll AS (
+  SELECT t.doc_id,
+         CAST(-ln(v.cnt::DOUBLE / (SELECT total FROM utot)::DOUBLE)
+              AS DECIMAL(38,20)) AS nll
+  FROM utoks t JOIN uvocab v USING (w)
+),
+uagg AS (
+  SELECT doc_id, count(*) AS n_tok,
+         CAST(sum(nll) AS DOUBLE) / count(*) AS avg_raw
+  FROM unll GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       floor(avg_raw * 10000) / 10000 AS avg_nll,
+       floor(exp(avg_raw) * 10000) / 10000 AS ppl
+FROM uagg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. DSIR hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) data-selection importance
+    weights: per-doc log-ratio of a hashed-unigram LM fit on the TARGET
+    slice (here ``lang = target_lang``, the in-corpus stand-in for the
+    paper's Wikipedia/Books target) vs one fit on the full RAW corpus,
+    Laplace-smoothed. Sampling ``exp(log_weight)``-proportionally
+    reweights raw data toward the target distribution.
+
+    Scale shape: tokens hash into ``n_buckets`` via the cross-engine
+    polyhash (no vocabulary explosion — the paper's trick), so both LMs
+    are n_buckets-row aggregates broadcast back over the token stream;
+    per-doc sums use the decimal(38,20) order-independence device."""
+    from ..functions.hashing import spark_polyhash_over_array
+
+    harr = spark_polyhash_over_array("split(text, ' ')")
+    base = _docs_base(docs)
+    toks = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(f"transform({harr}, h -> h % {n_buckets})")
+        ).alias("b"),
+    )
+    raw = toks.groupBy("b").agg(F.count("*").alias("raw_cnt"))
+    tgt = (
+        toks.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count("*").alias("tgt_cnt"))
+    )
+    cnts = raw.join(tgt, "b", "left").select(
+        "b", "raw_cnt", F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt")
+    )
+    tots = cnts.agg(
+        F.sum("raw_cnt").alias("rt"), F.sum("tgt_cnt").alias("tt")
+    )
+    lr = cnts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.log(
+                (F.col("tgt_cnt") + 1).cast("double")
+                / (F.col("tt") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("raw_cnt") + 1).cast("double")
+                / (F.col("rt") + n_buckets).cast("double")
+            )
+        )
+        .cast("decimal(38,20)")
+        .alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("lr").alias("wsum"))
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            _fl4(F.col("wsum").cast("double")).alias("log_weight"),
+            _fl4(
+                F.col("wsum").cast("double") / F.col("n_tok")
+            ).alias("avg_log_weight"),
+        )
+    )
+
+
+def _dsir_sql() -> str:
+    from ..functions.hashing import duck_polyhash_over_array
+
+    harr = duck_polyhash_over_array("string_split(text, ' ')")
+    b, lang = DSIR_BUCKETS, DSIR_TARGET_LANG
+    return f"""
+WITH dtoks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         unnest(list_transform({harr}, h -> h % {b})) AS b
+  FROM documents
+),
+draw AS (SELECT b, count(*) AS raw_cnt FROM dtoks GROUP BY b),
+dtgt AS (SELECT b, count(*) AS tgt_cnt FROM dtoks
+         WHERE lang = '{lang}' GROUP BY b),
+dcnts AS (
+  SELECT r.b, r.raw_cnt, COALESCE(t.tgt_cnt, 0) AS tgt_cnt
+  FROM draw r LEFT JOIN dtgt t USING (b)
+),
+dtots AS (SELECT sum(raw_cnt) AS rt, sum(tgt_cnt) AS tt FROM dcnts),
+dlr AS (
+  SELECT b, CAST(ln((tgt_cnt + 1)::DOUBLE / (tt + {b})::DOUBLE)
+              - ln((raw_cnt + 1)::DOUBLE / (rt + {b})::DOUBLE)
+              AS DECIMAL(38,20)) AS lr
+  FROM dcnts CROSS JOIN dtots
+),
+dagg AS (
+  SELECT doc_id, count(*) AS n_tok, sum(lr) AS wsum
+  FROM dtoks JOIN dlr USING (b) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       floor(CAST(wsum AS DOUBLE) * 10000) / 10000 AS log_weight,
+       floor(CAST(wsum AS DOUBLE) / n_tok * 10000) / 10000
+         AS avg_log_weight
+FROM dagg
+"""
+
+
+DSIR_WEIGHTS_SQL = _dsir_sql()

@@ -592,6 +592,123 @@ SELECT id_a, id_b, sim FROM scored WHERE sim >= {EMB_NEARDUP_THRESHOLD}
 """
 
 
+SEMDEDUP_K = 8  # coarse clusters at gate scale; size ~sqrt(n) at scale
+
+
+def semdedup_pairs(
+    spark,
+    sf_dir,
+    eps: float = EMB_NEARDUP_THRESHOLD,
+    n_clusters: int = SEMDEDUP_K,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup:
+    cluster the embedding corpus, compare pairs ONLY within a cluster,
+    and within each duplicate pair prune the member CLOSER to its
+    centroid — keeping the outlier preserves diversity (the paper's
+    keeper rule). Returns ``(id_kept, id_pruned, sim)``.
+
+    Clustering uses deterministic fixed centroids (the base vectors with
+    ``vec_id < n_clusters``, the same stand-in ivf_topk uses) so the
+    whole relation — assignment included — is expressible in the DuckDB
+    oracle; the k-means-fitted variant of the centroids is exercised by
+    ivf_kmeans_topk and can be swapped in without changing this shape.
+
+    Scale shape: assignment is a broadcast of n_clusters rows + an
+    Arrow pair-cosine over n x K (ids and scalars only ride the
+    groupBy); candidate pairs come from an EQUALITY self-join on cid, so
+    pair count is bounded by cluster size (pick n_clusters ~ n/target
+    at 100 TB — SemDeDup's own regime is K in the tens of thousands),
+    and vectors join back by id only for within-cluster candidates.
+    Reference analog: the dedup intent of doc2md_utils.py's re-index
+    skip, lifted to semantic space."""
+    vecs = track(_variant_embeddings(_emb(spark, sf_dir)))
+    cent = vecs.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # csim to every centroid via the bit-identical sequential-fold pair
+    # UDF (NOT _assign_bucket's numpy argmax: the oracle recomputes the
+    # same fold, so assignment ties break identically on both engines)
+    csims = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", _cos_pairs_udf()("v", "cv").alias("csim")
+    )
+    assign = (
+        csims.filter(F.col("csim").isNotNull())
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("csim", (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.ncid")).cast("long").alias("cid"),
+            F.col("m.csim").alias("csim"),
+        )
+    )
+    a = assign.select(
+        F.col("vec_id").alias("id_a"), "cid", F.col("csim").alias("csim_a")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id_b"), "cid", F.col("csim").alias("csim_b")
+    )
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "csim_a",
+            "csim_b",
+            F.round(_cos_pairs_udf()("va", "vb"), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= eps)
+    )
+    # keeper rule: prune the member nearer its centroid; exact-tie (incl.
+    # a variant pair whose members share one centroid-sim) prunes the
+    # larger id — id_a < id_b here, so the ELSE branch is the tie rule
+    prune_a = F.col("csim_a") > F.col("csim_b")
+    return pairs.select(
+        F.when(prune_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_kept"),
+        F.when(prune_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_pruned"),
+        "sim",
+    )
+
+
+def _semdedup_sql(n_clusters: int) -> str:
+    return f"""
+WITH {DUCK_VARIANT_EMBEDDINGS.strip()},
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM vcorpus WHERE vec_id < {n_clusters}
+),
+csims AS (
+  SELECT x.vec_id, c.cid, {_duck_cos('x.v', 'c.cv')} AS csim
+  FROM vcorpus x CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid, csim FROM (
+    SELECT vec_id, cid, csim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cid ASC) AS rn
+    FROM csims WHERE csim IS NOT NULL) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.csim AS csim_a, b.csim AS csim_b,
+         round({_duck_cos('va.v', 'vb.v')}, 6) AS sim
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN vcorpus va ON va.vec_id = a.vec_id
+  JOIN vcorpus vb ON vb.vec_id = b.vec_id
+)
+SELECT CASE WHEN csim_a > csim_b THEN id_b ELSE id_a END AS id_kept,
+       CASE WHEN csim_a > csim_b THEN id_a ELSE id_b END AS id_pruned,
+       sim
+FROM pairs WHERE sim >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql(SEMDEDUP_K)
+
+
 def ivf_kmeans_topk(
     spark,
     sf_dir,

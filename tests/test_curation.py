@@ -185,3 +185,47 @@ def test_pack_sequences_block_window_not_global(spark):
     single = plan.count("SinglePartition")
     assert single == 1
     assert plan.index("hashpartitioning(block") < plan.index("SinglePartition")
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob (CCNet perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    rows = [(1, "a a a a", "en"), (2, "a a a z", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in C.unigram_logprob(df).collect()}
+    # corpus: a x7, z x1, total 8
+    nll_a = -math.log(7 / 8)
+    assert out[1]["n_tokens"] == 4
+    assert abs(out[1]["avg_nll"] - math.floor(nll_a * 10000) / 10000) < 1e-9
+    # the doc containing the rare token is less likely under the LM
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]
+    assert out[2]["ppl"] > out[1]["ppl"]
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights (importance sampling toward the target slice)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    # single-char words hash to distinct buckets mod 64 (polyhash('c')=cp):
+    # a->33 b->34 z->58 y->57
+    rows = [
+        (1, "a b a b", "en"),
+        (2, "a b a b", "en"),
+        (3, "z y z y", "fr"),
+        (4, "a b z y", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["avg_log_weight"] for r in C.dsir_weights(df).collect()
+    }
+    # docs made of target-slice tokens outrank docs of never-in-target
+    # tokens; the mixed doc lands between
+    assert out[1] > out[4] > out[3]
+    assert out[1] == out[2]  # identical docs, identical weights
