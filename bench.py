@@ -65,6 +65,93 @@ ARROW_BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_ARROW_BATCH", "512"))
 # pairs exist.
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "4"))
 LOAD_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "900"))
+# Steal gate (r5 finding): this virtualized host's hypervisor steals CPU
+# in bursts (measured: 25-30% steal while 1-min loadavg reads 0.0 —
+# loadavg only sees OUR runqueue, not the neighbor tenants'), which is
+# what produced the phantom 4-9x per-query regressions across rounds
+# (semdedup_k64 4.7 s -> 92 s on identical code). /proc/stat's steal
+# counter is the direct observable: headline queries measured under
+# steal above the gate are re-measured (bounded retries, the
+# cleanest-window attempt is recorded with its steal%), and a scaling
+# round whose measurement windows saw steal above STEAL_CLEAN loses
+# headline eligibility exactly like a loadavg-gated round.
+STEAL_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_GATE", "3"))
+STEAL_CLEAN = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_CLEAN", "8"))
+HEADLINE_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+# Canary gate (r5): steal only counts ticks the hypervisor takes from a
+# RUNNABLE vCPU — neighbor-tenant MEMORY-BANDWIDTH pressure slows numpy
+# matmul queries 3-5x while steal reads ~1% (observed: simhash64 4.6 s
+# and 26.8 s in back-to-back windows, both "clean" by load and steal).
+# The canary is a fixed-work numpy matmul (DRAM-resident operands):
+# its elapsed time is a direct sample of deliverable host throughput.
+# A query measured in a window whose canary ran > CANARY_TOL x the
+# best-ever canary time is re-measured (same bounded retries); the
+# fastest attempt is recorded — established harness doctrine: external
+# interference only ever ADDS time, so best-of measures the engine.
+CANARY_TOL = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_TOL", "1.25"))
+CANARY_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_WAIT", "240"))
+
+_CANARY_A = None
+_CANARY_BASE = [None]  # best-ever canary sec (self-improving floor)
+
+
+def _canary_sec() -> float | None:
+    """Fixed-work host-throughput sample: a 256x4096 float64 matmul
+    (CPU-bound — sees steal/preemption) plus a 64 MB array reduction
+    (DRAM-streaming — sees neighbor memory-bandwidth pressure, which
+    steal cannot). Best of 3; ~15 ms on a quiet host."""
+    global _CANARY_A
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    if _CANARY_A is None:
+        rs = np.random.RandomState(0)
+        _CANARY_A = (rs.rand(256, 4096), rs.rand(8 * 1024 * 1024))
+    m, stream = _CANARY_A
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (m @ m.T).sum()
+        stream.sum()
+        best = min(best, time.perf_counter() - t0)
+    if _CANARY_BASE[0] is None or best < _CANARY_BASE[0]:
+        _CANARY_BASE[0] = best
+    return best
+
+
+def _canary_ratio() -> float | None:
+    """This window's canary time over the best-ever observed (>= 1.0);
+    None when numpy is unavailable."""
+    s = _canary_sec()
+    if s is None or not _CANARY_BASE[0]:
+        return None
+    return s / _CANARY_BASE[0]
+
+
+def _cpu_stat() -> list | None:
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(a: list | None, b: list | None) -> float | None:
+    """% of CPU time the hypervisor stole between two /proc/stat snaps."""
+    if not a or not b or len(a) < 8 or len(b) < 8:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return 100.0 * d[7] / tot
+
+
+def _sample_steal(sec: float = 2.0) -> float | None:
+    a = _cpu_stat()
+    if a is None:
+        return None
+    time.sleep(sec)
+    return _steal_pct(a, _cpu_stat())
 
 HEADLINE = (
     "extract_spans",
@@ -125,7 +212,7 @@ def _tiled_documents(spark, sf_dir: str, tile: int, repeat: int = 1):
     )
 
 
-def run_headline(results: dict) -> float:
+def run_headline(results: dict, steals: dict | None = None) -> float:
     from gpt4ocontentextraction_spark.driver_contract import (
         EXTRA_QUERIES,
         QUERIES,
@@ -154,6 +241,52 @@ def run_headline(results: dict) -> float:
         pass
     total = 0.0
     lookup = {**EXTRA_QUERIES, **QUERIES}
+    if steals is None:
+        steals = {}
+    for _ in range(3):  # calibrate the canary's best-ever floor
+        _canary_sec()
+
+    canary_budget = [CANARY_WAIT_SEC]
+
+    def _wait_canary() -> None:
+        """Hold the measurement until the host canary says throughput is
+        near its best-ever (bounded shared budget — proceeds regardless
+        when the budget is spent; the post-measurement canary + steal
+        then decide whether the attempt was contaminated)."""
+        while canary_budget[0] > 0:
+            r = _canary_ratio()
+            if r is None or r <= CANARY_TOL:
+                return
+            step = min(5.0, canary_budget[0])
+            time.sleep(step)
+            canary_budget[0] -= step
+
+    def _measure(fn) -> tuple[float, float | None]:
+        """Time fn() in the cleanest achievable host window. Two
+        contamination signals bound each attempt: hypervisor steal
+        (/proc/stat) and the fixed-work canary run right after the
+        attempt (catches memory-bandwidth contention steal can't see).
+        A contaminated attempt is re-run (bounded); the FASTEST attempt
+        is recorded — interference only ever adds time — along with the
+        steal% observed during that attempt."""
+        best_dt, best_st = None, None
+        for _attempt in range(HEADLINE_RETRIES + 1):
+            _wait_canary()
+            a = _cpu_stat()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            st = _steal_pct(a, _cpu_stat())
+            release_all()  # drop this query's operator-internal persists
+            post = _canary_ratio()
+            if best_dt is None or dt < best_dt:
+                best_dt, best_st = dt, st
+            clean_steal = st is None or st <= STEAL_GATE
+            clean_band = post is None or post <= CANARY_TOL
+            if clean_steal and clean_band:
+                break
+        return best_dt, best_st
+
     for name in HEADLINE:
         if name not in lookup:
             continue
@@ -161,13 +294,11 @@ def run_headline(results: dict) -> float:
         # (hybrid, k-means IVF) do bounded driver-coordinated work in
         # the builder itself — timing only the final plan would
         # undercount them.
-        t0 = time.perf_counter()
-        df = lookup[name](spark, SF_DIR)
-        _noop_write(df)
-        dt = time.perf_counter() - t0
+        dt, st = _measure(lambda: _noop_write(lookup[name](spark, SF_DIR)))
         results[name] = round(dt, 3)
+        if st is not None:
+            steals[name] = round(st, 1)
         total += dt
-        release_all()  # drop this query's operator-internal persists
         if name == "hybrid_topk":
             # ADVICE r4 shared-index form, measured alongside the honest
             # cold number (which alone counts toward the headline total):
@@ -186,13 +317,18 @@ def run_headline(results: dict) -> float:
                 results["bm25_index_build"] = round(
                     time.perf_counter() - t0, 3
                 )
-                t0 = time.perf_counter()
-                _noop_write(
-                    retrieval.hybrid_rrf_topk(spark, SF_DIR, bm25_scores=ix)
+                # _measure's release_all() does not drop ix: the caller
+                # owns a bm25_index persist by contract (untracked).
+                dt, st = _measure(
+                    lambda: _noop_write(
+                        retrieval.hybrid_rrf_topk(
+                            spark, SF_DIR, bm25_scores=ix
+                        )
+                    )
                 )
-                results["hybrid_topk_warm"] = round(
-                    time.perf_counter() - t0, 3
-                )
+                results["hybrid_topk_warm"] = round(dt, 3)
+                if st is not None:
+                    steals["hybrid_topk_warm"] = round(st, 1)
                 ix.unpersist(blocking=False)
             except Exception:
                 pass
@@ -367,6 +503,9 @@ def run_scaling() -> dict:
     from gpt4ocontentextraction_spark.session import get_spark
     from gpt4ocontentextraction_spark.spanify import spanify
 
+    for _ in range(3):  # calibrate the canary's best-ever floor
+        _canary_sec()
+
     tmp = tempfile.mkdtemp(prefix="bench_spans_")
     spans_dir = os.path.join(tmp, "spans")
 
@@ -390,6 +529,9 @@ def run_scaling() -> dict:
     n_docs = None
     round_ceilings: list[float] = []
     round_loads: list[float] = []
+    # max hypervisor-steal% observed across this round's measurement
+    # windows (both levels) — None when /proc/stat is unreadable
+    round_steals: list[float | None] = []
     # Shared wait budget across the whole run: before each paired round
     # the harness polls 1-min loadavg until it drops below LOAD_GATE or
     # the budget is spent (it then proceeds anyway and the round is just
@@ -421,13 +563,25 @@ def run_scaling() -> dict:
         """Returns the effective start load: min(1-min loadavg, busy
         cores) — quiet means EITHER is below the gate (a decayed-but-
         idle box passes on busy; a briefly-idle-but-contended box is
-        caught by loadavg next round)."""
-        load = min(os.getloadavg()[0], _busy_cores())
-        while load > LOAD_GATE and wait_budget[0] > 0:
+        caught by loadavg next round). Also waits out hypervisor-steal
+        bursts (invisible to loadavg — see STEAL_GATE): a round started
+        mid-burst would measure the neighbor tenants, not the engine."""
+        def _dirty() -> bool:
+            nonlocal load
+            load = min(os.getloadavg()[0], _busy_cores())
+            if load > LOAD_GATE:
+                return True
+            st = _sample_steal()
+            if st is not None and st > STEAL_GATE:
+                return True
+            r = _canary_ratio()  # bandwidth contention (see CANARY_TOL)
+            return r is not None and r > CANARY_TOL
+
+        load = 0.0
+        while _dirty() and wait_budget[0] > 0:
             step = min(30.0, wait_budget[0])
             time.sleep(step)
             wait_budget[0] -= step
-            load = min(os.getloadavg()[0], _busy_cores())
         return load
 
     def _one_round() -> None:
@@ -440,8 +594,13 @@ def run_scaling() -> dict:
         this_round: dict[int, float] = {}
         this_round_fused: dict[int, float] = {}
         this_round_files: dict[int, float] = {}
+        steal_seen: float | None = None
         for cores in SCALING_LEVELS:
+            snap0 = _cpu_stat()
             m = _measure_level_subprocess(cores, spans_dir)
+            st = _steal_pct(snap0, _cpu_stat())
+            if st is not None:
+                steal_seen = st if steal_seen is None else max(steal_seen, st)
             if m is None:
                 continue
             n_docs = m["n_docs"]
@@ -460,6 +619,9 @@ def run_scaling() -> dict:
         rounds.append(this_round)
         rounds_fused.append(this_round_fused)
         rounds_files.append(this_round_files)
+        round_steals.append(
+            None if steal_seen is None else round(steal_seen, 1)
+        )
         # host pure-compute ceiling measured INSIDE the same interference
         # window as this round's two levels: external neighbor load hits
         # the hi level ~4x harder than the lo level, so an engine/ceiling
@@ -468,13 +630,22 @@ def run_scaling() -> dict:
             _kernel_scaling(spans_dir, SCALING_LEVELS)["efficiency"]
         )
 
+    def _round_clean(ld: float, st: float | None) -> bool:
+        """Headline eligibility: quiet start AND no hypervisor-steal
+        burst above STEAL_CLEAN during either level's window (steal is
+        invisible to loadavg; a pre-steal-gate round recorded None and
+        keeps its load-only eligibility)."""
+        return ld < LOAD_GATE and (st is None or st <= STEAL_CLEAN)
+
     def _clean_pairs() -> int:
         """Complete pairs whose start load was below the gate."""
         lo_, hi_ = SCALING_LEVELS
         return sum(
             1
-            for r, ld in zip(rounds, round_loads)
-            if r.get(lo_, 0) > 0 and r.get(hi_, 0) > 0 and ld < LOAD_GATE
+            for r, ld, st_ in zip(rounds, round_loads, round_steals)
+            if r.get(lo_, 0) > 0
+            and r.get(hi_, 0) > 0
+            and _round_clean(ld, st_)
         )
 
     for _round in range(ROUNDS):
@@ -517,10 +688,11 @@ def run_scaling() -> dict:
     paired_vs_ceiling: list[float] = []
     fused_vs_ceiling: list[float] = []
     files_vs_ceiling: list[float] = []
-    for r, rf, rt, ceil_r, ld in zip(
-        rounds, rounds_fused, rounds_files, round_ceilings, round_loads
+    for r, rf, rt, ceil_r, ld, st_ in zip(
+        rounds, rounds_fused, rounds_files, round_ceilings, round_loads,
+        round_steals,
     ):
-        clean = ld < LOAD_GATE
+        clean = _round_clean(ld, st_)
         if r.get(lo, 0) > 0 and r.get(hi, 0) > 0:
             e = (r[hi] / r[lo]) / (hi / lo)
             paired.append(e)
@@ -641,6 +813,11 @@ def run_scaling() -> dict:
         "host_ceiling_4_16": kernel_control,
         "per_round_host_ceiling": [round(c, 3) for c in round_ceilings],
         "per_round_start_load": round_loads,
+        # max hypervisor steal% across each round's two level windows —
+        # rounds above STEAL_CLEAN lose headline eligibility like
+        # load-gated rounds (loadavg cannot see neighbor-tenant steal)
+        "per_round_steal_pct": round_steals,
+        "steal_clean_gate": STEAL_CLEAN,
         # same-window attribution: each round's engine efficiency divided
         # by that round's own host ceiling, median across rounds. The
         # cross-window ratio (final ceiling vs median efficiency) is kept
@@ -795,6 +972,13 @@ def write_baseline_md(payload: dict) -> None:
         f"- load gate: rounds starting above 1-min load"
         f" {s.get('load_gate')} are excluded from the headline median;"
         f" clean pairs this run: {s.get('clean_pairs')}",
+        f"- steal gate (r5): rounds whose measurement windows saw"
+        f" hypervisor steal above {s.get('steal_clean_gate')}% are"
+        f" likewise excluded (this host's hypervisor steals CPU in"
+        f" bursts of 25-30% while 1-min loadavg reads 0.0 — measured"
+        f" via /proc/stat; the burst pattern is what produced the"
+        f" phantom 4-9x per-query regressions across earlier rounds);"
+        f" per-round max steal%: {s.get('per_round_steal_pct')}",
         f"- classic (mapInArrow) extraction throughput local[{lo}]: "
         f"**{s['docs_per_sec'][f'local[{lo}]']} docs/sec**;"
         f" local[{hi}]: "
@@ -940,13 +1124,19 @@ def write_baseline_md(payload: dict) -> None:
         "capacity together — the regime where the raw number converges to",
         "the ceiling-relative one.",
         "",
-        "Headline query timings (local[{}] @ {}):".format(CPUS, SF_DIR),
+        "Headline query timings (local[{}] @ {}; steal% = hypervisor".format(
+            CPUS, SF_DIR
+        ),
+        "steal observed during the recorded measurement window — attempts",
+        f"above {STEAL_GATE}% steal were re-measured, see STEAL_GATE in"
+        " bench.py):",
         "",
-        "| query | sec |",
-        "| --- | --- |",
+        "| query | sec | steal% |",
+        "| --- | --- | --- |",
     ]
+    qsteal = payload.get("queries_steal_pct", {})
     for k, v in payload["queries"].items():
-        lines.append(f"| {k} | {v} |")
+        lines.append(f"| {k} | {v} | {qsteal.get(k, '-')} |")
     # Cross-run evidence: one run's windows are one host-weather sample;
     # the pooled clean pairs across every recorded run (RUNS.jsonl is
     # append-only) are the robust statement of the contract number.
@@ -994,11 +1184,13 @@ def main() -> None:
         if only and ("scaling" not in prev or "queries" not in prev):
             only = ""  # prior payload incomplete: do the full run
     queries: dict = {}
+    qsteal: dict = {}
     if only == "scaling":
         queries = dict(prev.get("queries", {}))
+        qsteal = dict(prev.get("queries_steal_pct", {}))
         total = float(prev.get("value", 0.0))
     else:
-        total = run_headline(queries)
+        total = run_headline(queries, qsteal)
     if only == "headline":
         scaling = prev["scaling"]
     else:
@@ -1012,6 +1204,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        # hypervisor steal% observed during each query's recorded
+        # (cleanest-attempt) measurement window — see STEAL_GATE
+        "queries_steal_pct": qsteal,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction_docs_per_sec": scaling["docs_per_sec"],
         "scaling_efficiency": scaling["efficiency"],

@@ -631,7 +631,13 @@ def semdedup_pairs(
     csims = vecs.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cid", _cos_pairs_udf()("v", "cv").alias("csim")
     )
-    assign = (
+    # assign feeds BOTH sides of the within-cluster self-join below; the
+    # subtrees are built from separate DataFrame objects so Catalyst
+    # plans the crossJoin + pair-UDF + groupBy TWICE with no
+    # ReusedExchange (measured: 6 ArrowEvalPython / 2 BroadcastNestedLoop
+    # nodes, ~2x the n*K scoring cost). Persist the n-row assignment so
+    # the expensive subtree runs once.
+    assign = track(
         csims.filter(F.col("csim").isNotNull())
         .groupBy("vec_id")
         .agg(F.max(F.struct("csim", (-F.col("cid")).alias("ncid"))).alias("m"))
