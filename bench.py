@@ -170,6 +170,7 @@ HEADLINE = (
     "dedup_clusters",
     "dup_ngram_spans",
     "dup_ngram_spans_hashed",
+    "line_dedup",
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",

@@ -784,6 +784,19 @@ def q_dup_ranges(spark, sf_dir):
     return dedup.duplicated_ranges(_docs(spark, sf_dir))
 
 
+@register_extra("line_dedup", dedup.LINE_DEDUP_REFLOW_SQL)
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb/C4-shape exact line dedup over the reflowed corpus
+    view (the synthetic docs are single-line; a deterministic 12-word
+    wrap exposes 110+ real cross-doc duplicate lines at sf0.01, so the
+    gate asserts removals, not emptiness). Every line occurrence after
+    its corpus-wide first occurrence is removed; blank lines are
+    structural and kept. EXTRA (local-parity) gate — the 50-slot driver
+    registry is full; swept by tests/test_oracle_parity.py and timed by
+    bench.py."""
+    return dedup.line_dedup(dedup.reflow_lines(_docs(spark, sf_dir)))
+
+
 @register_extra("dedup_cut", dedup.DEDUP_CUT_SQL)
 def q_dedup_cut(spark, sf_dir):
     """APPLY the substring dedup: text with every duplicated range cut

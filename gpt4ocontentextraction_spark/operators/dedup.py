@@ -1434,3 +1434,133 @@ FROM (
 ) w
 LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+def reflow_lines(docs: DataFrame, words_per_line: int = 12) -> DataFrame:
+    """Deterministic line structure for line-granularity operators:
+    wrap each document's space-separated words into lines of
+    ``words_per_line`` words (last line shorter). The synthetic corpus
+    is single-line; this view exposes real cross-document duplicate
+    lines (the word blocks repeat) so line_dedup's gate asserts actual
+    removals. NULL text stays NULL; '' stays ''. The DuckDB oracle
+    builds the identical view (LINE_DEDUP_REFLOW_SQL's rdocs CTE)."""
+    w = int(words_per_line)
+    lines = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(split(text, ' '), i * {w} + 1, {w}), ' '))"
+    )
+    return docs.select(
+        F.col("doc_id"), F.array_join(lines, "\n").alias("text")
+    )
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-level EXACT line deduplication (RefinedWeb, Penedo et al.
+    2023, arXiv:2306.01116 — line-wise dedup of boilerplate; the C4
+    repeated-span rule of Raffel et al. 2020 at line granularity):
+    every occurrence of a (trimmed) line after its corpus-wide FIRST
+    occurrence — ordered by (doc_id, pos) — is removed; whitespace-only
+    lines are structural and always kept. Returns
+    ``(doc_id, cleaned, n_removed)`` for every non-null-text document,
+    cleaned='' when every line was removed.
+
+    Scale shape: one explode pass; the first-occurrence table is a hash
+    aggregate keyed on the trimmed line (map-side partial min), and the
+    occurrence side joins it back on the same key — the aggregate's
+    output is already hash-partitioned on the key, so the join adds one
+    exchange of the occurrences only. Blank lines never enter the join
+    (the '' key would be the corpus's hottest bucket — classic skew);
+    they bypass via union. At 10^12 docs, narrow the exchange with the
+    dup_ngram_spans_hashed trick: ship xxhash64(trimmed line), keep the
+    string on the occurrence side only, and verify string equality
+    after the hash join. Reference analog: the dedup intent of
+    doc2md_utils.py's re-index skip, at line granularity."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
+    ).withColumn("k", F.trim(F.col("line")))
+    blanks = lines.filter(F.col("k") == "").select("doc_id", "pos", "line")
+    nonblank = lines.filter(F.col("k") != "")
+    first = nonblank.groupBy("k").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    kept = blanks.unionByName(
+        nonblank.join(first, "k")
+        .filter(
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("pos") == F.col("f.pos"))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select(
+            "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# Gate oracle: the reflowed-corpus view (rdocs, bit-identical to
+# reflow_lines at 12 words/line) followed by the same first-occurrence
+# keep rule. row_number() is the oracle's luxury — the Spark side's
+# corpus-wide min-struct aggregate computes the same first occurrence
+# without a global window.
+LINE_DEDUP_REFLOW_SQL = """
+WITH rdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         array_to_string(
+           list_transform(
+             range(0, CAST(ceil(len(string_split(text, ' ')) / 12.0)
+                           AS BIGINT)),
+             i -> array_to_string(
+                    list_slice(string_split(text, ' '),
+                               i * 12 + 1, i * 12 + 12), ' ')),
+           chr(10)) AS text
+  FROM documents
+  WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rdocs),
+       unnest(range(1, CAST(len(ls) AS BIGINT) + 1)) AS t(i)
+),
+keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
+ranked AS (
+  SELECT doc_id, pos, line, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM keyed
+),
+kept AS (SELECT doc_id, pos, line FROM ranked WHERE k = '' OR rn = 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM rdocs
+)
+SELECT t.doc_id AS doc_id, COALESCE(r.cleaned, '') AS cleaned,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+"""
