@@ -171,6 +171,7 @@ HEADLINE = (
     "dup_ngram_spans",
     "dup_ngram_spans_hashed",
     "line_dedup",
+    "line_dedup_hashed",
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",

@@ -797,6 +797,41 @@ def q_line_dedup(spark, sf_dir):
     return dedup.line_dedup(dedup.reflow_lines(_docs(spark, sf_dir)))
 
 
+@register_extra("line_dedup_hashed", dedup.LINE_DEDUP_REFLOW_SQL)
+def q_line_dedup_hashed(spark, sf_dir):
+    """line_dedup's 100-TB exchange shape: the first-occurrence
+    aggregate ships a 128-bit line key (2x xxhash64) instead of the
+    line string. Same oracle as line_dedup — the outputs are identical
+    (collision bound ~d^2/2^129, see the operator docstring)."""
+    return dedup.line_dedup_hashed(
+        dedup.reflow_lines(_docs(spark, sf_dir))
+    )
+
+
+@register_extra("boilerplate_lines", dedup.BOILERPLATE_LINES_SQL)
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet/RefinedWeb boilerplate-line removal over the reflowed
+    corpus view: EVERY occurrence of a trimmed line appearing in >= 3
+    distinct documents is dropped (site furniture), unlike line_dedup
+    which keeps the first. The reflow exposes real cross-doc repeated
+    lines so the gate asserts removals, not emptiness. EXTRA
+    (local-parity) gate, swept by tests/test_oracle_parity.py."""
+    return dedup.boilerplate_lines(
+        dedup.reflow_lines(_docs(spark, sf_dir))
+    )
+
+
+@register_extra("pii_redact", curation.PII_REDACT_SQL)
+def q_pii_redact(spark, sf_dir):
+    """C4/Dolma-style PII masking (emails, phones, IPv4 -> typed mask
+    tokens + per-category counts) over a deterministically PII-seeded
+    view of documents (the synthetic corpus has no contact strings; an
+    unseeded gate would only ever prove zero redactions — the
+    embedding_neardup lesson). Pure JVM regexp projection, no shuffle.
+    EXTRA (local-parity) gate."""
+    return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
+
+
 @register_extra("dedup_cut", dedup.DEDUP_CUT_SQL)
 def q_dedup_cut(spark, sf_dir):
     """APPLY the substring dedup: text with every duplicated range cut

@@ -689,3 +689,138 @@ FROM dagg
 
 
 DSIR_WEIGHTS_SQL = _dsir_sql()
+
+
+# ---------------------------------------------------------------------------
+# 7. PII redaction (C4 / Dolma-style masking)
+# ---------------------------------------------------------------------------
+
+# Patterns live in the Java-regex / RE2 INTERSECTION dialect (no
+# backreferences, no lookaround, no possessive quantifiers): Spark
+# compiles them with java.util.regex, the DuckDB oracle with RE2, and
+# both must see the same matches. Greedy quantifiers without ambiguous
+# alternation make Java's leftmost-first and RE2's leftmost-longest
+# agree.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+PII_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def seed_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII view for the redaction gate: the synthetic
+    corpus contains no contact strings, so a gate over the raw table
+    would assert nothing (the embedding_neardup lesson — an oracle that
+    only ever sees zero redactions proves emptiness, not behavior).
+    Appends a contact block derived from doc_id to 2/3 of documents
+    (doc_id % 3 == 0: email + phone + IP; == 1: email only; == 2:
+    untouched), NULL text stays NULL. The DuckDB oracle builds the
+    identical view (PII_REDACT_SQL's pdocs CTE)."""
+    did = F.col("doc_id").cast("long")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        did.cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        (did % 100).cast("string"),
+        F.lit("."),
+        (did % 50).cast("string"),
+        F.lit("."),
+    )
+    mail_only = F.concat(
+        F.col("text"),
+        F.lit(" Mail user"),
+        did.cast("string"),
+        F.lit("@example.org."),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .when(did % 3 == 0, full)
+        .when(did % 3 == 1, mail_only)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII masking over ``(doc_id, text)`` — the C4 (Raffel et al.
+    2020) / Dolma (Soldaini et al. 2024) pre-training cleanup step:
+    emails, then phone numbers, then IPv4 addresses are replaced with
+    typed mask tokens, with per-category match counts (counted on the
+    ORIGINAL text, so counts are independent of replacement order).
+    Returns ``(doc_id, cleaned, n_emails, n_phones, n_ips)`` for every
+    non-null-text document.
+
+    Scale shape: a pure per-row JVM projection — regexp_count +
+    regexp_replace inside whole-stage codegen, no shuffle, no Python.
+    At 100 TB this is the cheapest operator family in the pipeline:
+    it pipelines with the scan and prunes to the two referenced
+    columns. Reference analog: the text post-processing seam of
+    doc2md_utils.py's markdown cleanup (the reference never ships PII
+    handling; a pre-training pipeline cannot skip it)."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return base.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.regexp_count("text", F.lit(PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_IP_RE))
+        .cast("long")
+        .alias("n_ips"),
+    )
+
+
+# Backslashes survive verbatim in both carriers: this is a Python raw
+# string, and DuckDB string literals do not process escapes.
+PII_REDACT_SQL = rf"""
+WITH pdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 AS VARCHAR)
+                  || '.' || CAST(doc_id % 50 AS VARCHAR) || '.'
+           WHEN doc_id % 3 = 1 THEN
+             text || ' Mail user' || CAST(doc_id AS VARCHAR)
+                  || '@example.org.'
+           ELSE text
+         END AS text
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+         '{PII_IP_RE}', '<IP>', 'g') AS cleaned,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
+         AS n_ips
+FROM pdocs
+"""

@@ -1471,11 +1471,10 @@ def line_dedup(docs: DataFrame) -> DataFrame:
     output is already hash-partitioned on the key, so the join adds one
     exchange of the occurrences only. Blank lines never enter the join
     (the '' key would be the corpus's hottest bucket — classic skew);
-    they bypass via union. At 10^12 docs, narrow the exchange with the
-    dup_ngram_spans_hashed trick: ship xxhash64(trimmed line), keep the
-    string on the occurrence side only, and verify string equality
-    after the hash join. Reference analog: the dedup intent of
-    doc2md_utils.py's re-index skip, at line granularity."""
+    they bypass via union. The 10^12-doc exchange is
+    :func:`line_dedup_hashed` — same output through a 128-bit hashed
+    line key. Reference analog: the dedup intent of doc2md_utils.py's
+    re-index skip, at line granularity."""
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     ).filter(F.col("text").isNotNull())
@@ -1552,6 +1551,186 @@ ranked AS (
   FROM keyed
 ),
 kept AS (SELECT doc_id, pos, line FROM ranked WHERE k = '' OR rn = 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM rdocs
+)
+SELECT t.doc_id AS doc_id, COALESCE(r.cleaned, '') AS cleaned,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def line_dedup_hashed(docs: DataFrame) -> DataFrame:
+    """The 100-TB exchange shape of :func:`line_dedup` — identical
+    output (gate-checked against the same oracle). The first-occurrence
+    aggregate groups on a 128-bit line key (two independently-seeded
+    xxhash64 values) instead of the line string, so the corpus-wide
+    exchange ships 16 bytes + (doc_id, pos) per map-side-combined
+    distinct line rather than the full line text, and the occurrence
+    side joins back on the same pair of longs. A key collision would
+    need two distinct lines agreeing on BOTH hashes: by the birthday
+    bound that is ~d^2/2^129 for d distinct lines — ~1e-14 even at
+    10^12 lines (a single xxhash64 would NOT survive that scale:
+    10^24/2^65 >> 1). Line strings never leave their occurrence rows;
+    the per-doc reassembly is the same ordered aggregation."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
+    ).withColumn("k", F.trim(F.col("line")))
+    blanks = lines.filter(F.col("k") == "").select("doc_id", "pos", "line")
+    nonblank = (
+        lines.filter(F.col("k") != "")
+        .withColumn("h1", F.xxhash64(F.col("k")))
+        .withColumn("h2", F.xxhash64(F.lit(1), F.col("k")))
+        .drop("k")
+    )
+    first = nonblank.groupBy("h1", "h2").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    kept = blanks.unionByName(
+        nonblank.join(first, ["h1", "h2"])
+        .filter(
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("pos") == F.col("f.pos"))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select(
+            "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+BOILERPLATE_MIN_DF = 3
+
+
+def boilerplate_lines(
+    docs: DataFrame, min_df: int = BOILERPLATE_MIN_DF
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the CCNet/RefinedWeb
+    navigation-chrome rule: a line whose trimmed form occurs in many
+    DISTINCT documents is site furniture — cookie banners, nav menus,
+    copyright footers — not content). EVERY occurrence of a trimmed
+    line with document frequency >= ``min_df`` is dropped (unlike
+    :func:`line_dedup`, which keeps the corpus-wide first occurrence);
+    whitespace-only lines are structural and always kept. Returns
+    ``(doc_id, cleaned, n_removed)`` for every non-null-text document.
+
+    Scale shape: one explode pass; the doc-frequency table is a hash
+    aggregate keyed on the trimmed line (map-side partial
+    distinct-accumulate), filtered DOWN to the boilerplate keys — a
+    tiny fraction of distinct lines (13 keys of ~59k distinct at
+    sf0.01) — so the anti-join back to the occurrences is
+    AQE-broadcastable in most corpora; when a 100-TB corpus's
+    boilerplate set outgrows the broadcast threshold the anti-join
+    falls back to the same hash-partitioned exchange the aggregate
+    already produced. Blank lines bypass the join (the '' key would be
+    the hottest bucket). At 10^12 docs the exchange rides the
+    line_dedup_hashed 128-bit key instead of the string.
+    Reference analog: the cleanup intent of doc2md_utils.py's markdown
+    post-processing, lifted to corpus granularity."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
+    ).withColumn("k", F.trim(F.col("line")))
+    blanks = lines.filter(F.col("k") == "").select("doc_id", "pos", "line")
+    nonblank = lines.filter(F.col("k") != "")
+    boiler = (
+        nonblank.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= int(min_df))
+        .select("k")
+    )
+    kept = blanks.unionByName(
+        nonblank.join(boiler, "k", "left_anti").select(
+            "doc_id", "pos", "line"
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select(
+            "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# Gate oracle: same reflowed-corpus view as LINE_DEDUP_REFLOW_SQL, then
+# the document-frequency rule instead of first-occurrence.
+BOILERPLATE_LINES_SQL = f"""
+WITH rdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         array_to_string(
+           list_transform(
+             range(0, CAST(ceil(len(string_split(text, ' ')) / 12.0)
+                           AS BIGINT)),
+             i -> array_to_string(
+                    list_slice(string_split(text, ' '),
+                               i * 12 + 1, i * 12 + 12), ' ')),
+           chr(10)) AS text
+  FROM documents
+  WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rdocs),
+       unnest(range(1, CAST(len(ls) AS BIGINT) + 1)) AS t(i)
+),
+keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
+boiler AS (
+  SELECT k FROM keyed WHERE k <> ''
+  GROUP BY k HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+),
+kept AS (
+  SELECT doc_id, pos, line FROM keyed
+  WHERE k = '' OR k NOT IN (SELECT k FROM boiler)
+),
 rebuilt AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
          COUNT(*) AS n_kept

@@ -73,3 +73,31 @@ def test_reflow_lines_geometry(spark):
     assert got[1] == "a b\nc d\ne"
     assert got[2] == ""
     assert got[3] is None
+
+
+def test_hashed_arm_identical_on_hand_corpus(spark):
+    rows = [
+        (1, "x\ny\nx"),
+        (2, "y\nz"),
+        (3, "  \n\nx"),
+        (4, None),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(tuple(r) for r in dedup.line_dedup(docs).collect())
+    hashed = sorted(
+        tuple(r) for r in dedup.line_dedup_hashed(docs).collect()
+    )
+    assert plain == hashed
+
+
+def test_hashed_arm_identical_on_reflowed_corpus(spark):
+    docs = dedup.reflow_lines(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    plain = sorted(tuple(r) for r in dedup.line_dedup(docs).collect())
+    hashed = sorted(
+        tuple(r) for r in dedup.line_dedup_hashed(docs).collect()
+    )
+    assert plain == hashed
+    assert sum(r[2] for r in plain) > 0  # the corpus really deduped
