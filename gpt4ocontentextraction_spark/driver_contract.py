@@ -1016,8 +1016,20 @@ def q_semdedup_k64(spark, sf_dir):
     """SemDeDup at K=64 clusters — the bench-scale arm: cluster count
     grows with the corpus so within-cluster pair sets stay bounded (the
     paper's regime is K in the tens of thousands at web scale); same
-    parameterized oracle."""
-    return retrieval.semdedup_pairs(spark, sf_dir, n_clusters=64)
+    parameterized oracle. Runs the GROUPED production path (per-cluster
+    applyInPandas kernels, each vector shipped once — O(n*dim) Arrow
+    traffic instead of the spec form's O(n*K*dim) assignment crossJoin
+    + O(pairs*dim) verify join); the fold-order kernels keep it
+    bit-identical to the same DuckDB oracle the spec form gates on."""
+    return retrieval.semdedup_pairs_grouped(spark, sf_dir, n_clusters=64)
+
+
+@register_extra("semdedup_grouped", retrieval.SEMDEDUP_SQL)
+def q_semdedup_grouped(spark, sf_dir):
+    """The grouped production path at the spec form's K — both SemDeDup
+    arms gate against the SAME oracle, proving the exchange-shape
+    rewrite changes no row at either cluster count."""
+    return retrieval.semdedup_pairs_grouped(spark, sf_dir)
 
 
 @register("bm25_topk", retrieval.BM25_TOPK_SQL)

@@ -715,6 +715,172 @@ FROM pairs WHERE sim >= {EMB_NEARDUP_THRESHOLD}
 SEMDEDUP_SQL = _semdedup_sql(SEMDEDUP_K)
 
 
+def semdedup_pairs_grouped(
+    spark,
+    sf_dir,
+    eps: float = EMB_NEARDUP_THRESHOLD,
+    n_clusters: int = SEMDEDUP_K,
+) -> DataFrame:
+    """SemDeDup with the per-CLUSTER kernels — the production exchange
+    shape of `semdedup_pairs` (same relation, bit-identical output,
+    proven against the same oracle). Two Arrow-traffic sinks in the
+    join-shaped spec form disappear:
+
+    1. ASSIGNMENT: the spec's crossJoin inflates to n x K rows each
+       carrying BOTH dim-width vectors through the pair-cosine UDF
+       (sf0.1 @ K=64: 256k rows x 2 x 256 doubles ~ 1 GB of Arrow IPC).
+       Here one `mapInPandas` pass ships each vector ONCE and scores it
+       against a driver-collected centroid matrix (K rows — the same
+       bound that lets ivf_kmeans collect its centroids; broadcast,
+       released by the gate wrapper) — O(n * dim) traffic.
+    2. VERIFY: the spec joins both vectors onto every candidate pair
+       (O(pairs * dim) traffic). Here `applyInPandas` over the cid
+       groups ships each vector once into its cluster's kernel and
+       emits only (ids, csims, sim) scalars — O(n * dim) traffic,
+       memory bounded by one cluster (n_c * dim + n_c^2; SemDeDup's
+       own regime sizes K ~ n/target so n_c stays bounded).
+
+    Bit-identity (NOT the matmul shortcut `_argmax_bucket_pandas`
+    takes): every cosine below accumulates with `acc += x * y` column
+    passes in dimension order — one product + one add per element per
+    step, exactly `_cos_pairs_udf`'s IEEE fold order, which is itself
+    bit-identical to the `aggregate(zip_with(...))` spec and DuckDB's
+    `list_reduce` — so assignments, csims, and sims (and therefore
+    argmax ties and the rounded verify cutoff) cannot drift in the
+    last ulp the way a pairwise-summing BLAS dot could. np.argmax
+    takes the FIRST maximum over cid-ascending columns = the spec's
+    max(struct(csim, -cid)) tie rule."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import SparkSession
+
+    from ..cached import track_broadcast
+
+    vecs = track(_variant_embeddings(_emb(spark, sf_dir)))
+    cent_rows = (
+        vecs.filter(F.col("vec_id") < n_clusters)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()
+    )
+    cids = np.array(sorted(int(r["cid"]) for r in cent_rows), dtype=np.int64)
+    by_cid = {int(r["cid"]): list(r["cv"]) for r in cent_rows}
+    cmat = np.array([by_cid[int(c)] for c in cids], dtype=np.float64)
+    bc = track_broadcast(
+        SparkSession.getActiveSession().sparkContext.broadcast((cids, cmat))
+    )
+
+    def _assign_batches(batches):
+        b_cids, b_c = bc.value
+        dim = b_c.shape[1]
+        # centroid norms: same fold order as the per-pair UDF's nb
+        nc = np.zeros(b_c.shape[0])
+        for d in range(dim):
+            y = b_c[:, d]
+            nc += y * y
+        snc = np.sqrt(nc)
+        for pdf in batches:
+            vals = pdf["v"].tolist()
+            ok = [v is not None and len(v) == dim for v in vals]
+            if not any(ok):
+                continue
+            V = np.array(
+                [vals[i] for i, g in enumerate(ok) if g], dtype=np.float64
+            )
+            n = V.shape[0]
+            dot = np.zeros((n, b_c.shape[0]))
+            nv = np.zeros(n)
+            for d in range(dim):  # sequential over dims = the fold order
+                x = V[:, d]
+                dot += x[:, None] * b_c[None, :, d]
+                nv += x * x
+            sims = dot / (np.sqrt(nv)[:, None] * snc[None, :])
+            idx = np.argmax(sims, axis=1)  # first max = smallest cid
+            picked = sims[np.arange(n), idx]
+            ids = pdf["vec_id"].to_numpy()[ok]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cid": b_cids[idx],
+                    "csim": picked,
+                    "v": [vals[i] for i, g in enumerate(ok) if g],
+                }
+            )
+
+    assigned = vecs.mapInPandas(
+        _assign_batches,
+        schema="vec_id long, cid long, csim double, v array<double>",
+    )
+    vec_dim = int(cmat.shape[1])  # close over the scalar, not the matrix
+
+    def _cluster_pairs(pdf):
+        pdf = pdf.sort_values("vec_id")
+        vals = pdf["v"].tolist()
+        dim = vec_dim
+        # assignment already dropped NULL/ragged rows; re-guard anyway
+        ok = [v is not None and len(v) == dim for v in vals]
+        ids = pdf["vec_id"].to_numpy()[ok]
+        cs = pdf["csim"].to_numpy()[ok]
+        n = int(ids.shape[0])
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "csim_a": pd.Series([], dtype="float64"),
+                "csim_b": pd.Series([], dtype="float64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        V = np.array(
+            [v for v, g in zip(vals, ok) if g], dtype=np.float64
+        )
+        G = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for d in range(dim):  # rank-1 updates in fold order
+            x = V[:, d]
+            G += x[:, None] * x[None, :]
+            nrm += x * x
+        s = np.sqrt(nrm)
+        sims = G / (s[:, None] * s[None, :])
+        iu, ju = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu],
+                "id_b": ids[ju],
+                "csim_a": cs[iu],
+                "csim_b": cs[ju],
+                "sim": sims[iu, ju],
+            }
+        )
+
+    pairs = (
+        assigned.groupBy("cid")
+        .applyInPandas(
+            _cluster_pairs,
+            schema=(
+                "id_a long, id_b long, csim_a double,"
+                " csim_b double, sim double"
+            ),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "csim_a",
+            "csim_b",
+            F.round("sim", 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= eps)
+    )
+    prune_a = F.col("csim_a") > F.col("csim_b")
+    return pairs.select(
+        F.when(prune_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_kept"),
+        F.when(prune_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_pruned"),
+        "sim",
+    )
+
+
 def ivf_kmeans_topk(
     spark,
     sf_dir,

@@ -65,3 +65,22 @@ def test_semdedup_k_bounds_pairs(spark):
     n8 = R.semdedup_pairs(spark, SF, n_clusters=8).count()
     n64 = R.semdedup_pairs(spark, SF, n_clusters=64).count()
     assert n64 <= n8
+
+
+def test_semdedup_grouped_bit_identical(spark):
+    """The grouped production path (per-cluster kernels, each vector
+    shipped once) returns the EXACT row multiset of the join-shaped
+    spec form at both cluster counts — including every rounded sim,
+    which only holds because the kernels accumulate in the same IEEE
+    fold order (a BLAS dot's pairwise summation would drift ulps)."""
+    for k in (8, 64):
+        spec = sorted(
+            map(tuple, R.semdedup_pairs(spark, SF, n_clusters=k).collect())
+        )
+        grouped = sorted(
+            map(
+                tuple,
+                R.semdedup_pairs_grouped(spark, SF, n_clusters=k).collect(),
+            )
+        )
+        assert grouped == spec and len(spec) > 0
