@@ -961,7 +961,8 @@ def write_baseline_md(payload: dict) -> None:
         f" **{round(_st.median(p_files), 3) if p_files else None}**,"
         f" vs-ceiling per-run median"
         f" **{round(_st.median(p_vs_ceil), 3) if p_vs_ceil else None}**"
-        f" — best genuinely-idle window 0.989 raw (run 6); see the"
+        f" — best clean-pair window"
+        f" {max(p_files) if p_files else None} raw; see the"
         f" cross-run section below",
         f"- FUSED python-scan path (sources/pyscan.py — the composable"
         f" production plan per SCALE.md, output spans feed downstream"
@@ -1221,9 +1222,12 @@ def main() -> None:
     # the per_round_start_load field says which is which), and its
     # pooled cross-run section reads the history, which must already
     # contain this run.
+    # keep per-query timings AND their paired steal% in the history —
+    # the cross-run per-query reading in BASELINE.md needs both sides
+    # (an entry with steal context but no timings is unreadable)
     hist = os.path.join(_REPO, "BENCH", "RUNS.jsonl")
     with open(hist, "a") as f:
-        f.write(json.dumps({k: v for k, v in payload.items() if k != "queries"}) + "\n")
+        f.write(json.dumps(payload) + "\n")
     write_baseline_md(payload)
     # full payload to a file the driver/judge can always read whole...
     with open(os.path.join(_REPO, "BENCH", "headline.json"), "w") as f:

@@ -609,14 +609,14 @@ def dsir_weights(
             F.expr(f"transform({harr}, h -> h % {n_buckets})")
         ).alias("b"),
     )
-    raw = toks.groupBy("b").agg(F.count("*").alias("raw_cnt"))
-    tgt = (
-        toks.filter(F.col("lang") == target_lang)
-        .groupBy("b")
-        .agg(F.count("*").alias("tgt_cnt"))
-    )
-    cnts = raw.join(tgt, "b", "left").select(
-        "b", "raw_cnt", F.coalesce("tgt_cnt", F.lit(0)).alias("tgt_cnt")
+    # ONE conditional aggregate builds both LMs (a raw groupBy + a
+    # target groupBy + left join would evaluate the per-token polyhash
+    # stream twice and add a join for counts that live in the same row)
+    cnts = toks.groupBy("b").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
+        ).alias("tgt_cnt"),
     )
     tots = cnts.agg(
         F.sum("raw_cnt").alias("rt"), F.sum("tgt_cnt").alias("tt")
@@ -662,12 +662,10 @@ WITH dtoks AS (
          unnest(list_transform({harr}, h -> h % {b})) AS b
   FROM documents
 ),
-draw AS (SELECT b, count(*) AS raw_cnt FROM dtoks GROUP BY b),
-dtgt AS (SELECT b, count(*) AS tgt_cnt FROM dtoks
-         WHERE lang = '{lang}' GROUP BY b),
 dcnts AS (
-  SELECT r.b, r.raw_cnt, COALESCE(t.tgt_cnt, 0) AS tgt_cnt
-  FROM draw r LEFT JOIN dtgt t USING (b)
+  SELECT b, count(*) AS raw_cnt,
+         sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS tgt_cnt
+  FROM dtoks GROUP BY b
 ),
 dtots AS (SELECT sum(raw_cnt) AS rt, sum(tgt_cnt) AS tt FROM dcnts),
 dlr AS (

@@ -1455,6 +1455,55 @@ def reflow_lines(docs: DataFrame, words_per_line: int = 12) -> DataFrame:
     )
 
 
+def _exploded_lines(docs: DataFrame):
+    """Shared scaffold of the line-granularity family (line_dedup,
+    line_dedup_hashed, boilerplate_lines): non-null base, one
+    posexplode pass with the trimmed key, and the blank/non-blank
+    split (whitespace-only lines are structural — they bypass every
+    corpus-wide join, where the '' key would be the hottest bucket).
+    Returns ``(base, blanks, nonblank)``."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    lines = base.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
+    ).withColumn("k", F.trim(F.col("line")))
+    blanks = lines.filter(F.col("k") == "").select("doc_id", "pos", "line")
+    nonblank = lines.filter(F.col("k") != "")
+    return base, blanks, nonblank
+
+
+def _reassemble_lines(base: DataFrame, kept: DataFrame) -> DataFrame:
+    """Shared tail of the line-granularity family: per-doc ordered
+    reassembly of the kept ``(doc_id, pos, line)`` rows plus the
+    n_removed accounting against the original line count (docs whose
+    every line was removed come back as cleaned='')."""
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select(
+            "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines")
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def line_dedup(docs: DataFrame) -> DataFrame:
     """Corpus-level EXACT line deduplication (RefinedWeb, Penedo et al.
     2023, arXiv:2306.01116 — line-wise dedup of boilerplate; the C4
@@ -1475,15 +1524,7 @@ def line_dedup(docs: DataFrame) -> DataFrame:
     :func:`line_dedup_hashed` — same output through a 128-bit hashed
     line key. Reference analog: the dedup intent of doc2md_utils.py's
     re-index skip, at line granularity."""
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    ).filter(F.col("text").isNotNull())
-    lines = base.select(
-        "doc_id",
-        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
-    ).withColumn("k", F.trim(F.col("line")))
-    blanks = lines.filter(F.col("k") == "").select("doc_id", "pos", "line")
-    nonblank = lines.filter(F.col("k") != "")
+    base, blanks, nonblank = _exploded_lines(docs)
     first = nonblank.groupBy("k").agg(
         F.min(F.struct("doc_id", "pos")).alias("f")
     )
@@ -1495,38 +1536,14 @@ def line_dedup(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "pos", "line")
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("cleaned"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        base.select(
-            "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines")
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-    )
+    return _reassemble_lines(base, kept)
 
 
-# Gate oracle: the reflowed-corpus view (rdocs, bit-identical to
-# reflow_lines at 12 words/line) followed by the same first-occurrence
-# keep rule. row_number() is the oracle's luxury — the Spark side's
-# corpus-wide min-struct aggregate computes the same first occurrence
-# without a global window.
-LINE_DEDUP_REFLOW_SQL = """
-WITH rdocs AS (
+# Shared oracle fragments for the line-granularity family — the SQL
+# twins of _exploded_lines (reflow view + explode + trimmed key) and
+# _reassemble_lines (ordered rebuild + n_removed accounting); each
+# oracle supplies only its own `kept` CTE between them.
+_REFLOW_LINES_CTES = """rdocs AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          array_to_string(
            list_transform(
@@ -1544,14 +1561,9 @@ lines AS (
   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rdocs),
        unnest(range(1, CAST(len(ls) AS BIGINT) + 1)) AS t(i)
 ),
-keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
-ranked AS (
-  SELECT doc_id, pos, line, k,
-         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
-  FROM keyed
-),
-kept AS (SELECT doc_id, pos, line FROM ranked WHERE k = '' OR rn = 1),
-rebuilt AS (
+keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines)"""
+
+_REASSEMBLE_LINES_SQL = """rebuilt AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
          COUNT(*) AS n_kept
   FROM kept GROUP BY doc_id
@@ -1561,7 +1573,22 @@ tot AS (
 )
 SELECT t.doc_id AS doc_id, COALESCE(r.cleaned, '') AS cleaned,
        CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
-FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+FROM tot t LEFT JOIN rebuilt r USING (doc_id)"""
+
+# Gate oracle: the reflowed-corpus view (rdocs, bit-identical to
+# reflow_lines at 12 words/line) followed by the same first-occurrence
+# keep rule. row_number() is the oracle's luxury — the Spark side's
+# corpus-wide min-struct aggregate computes the same first occurrence
+# without a global window.
+LINE_DEDUP_REFLOW_SQL = f"""
+WITH {_REFLOW_LINES_CTES},
+ranked AS (
+  SELECT doc_id, pos, line, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM keyed
+),
+kept AS (SELECT doc_id, pos, line FROM ranked WHERE k = '' OR rn = 1),
+{_REASSEMBLE_LINES_SQL}
 """
 
 
@@ -1578,17 +1605,9 @@ def line_dedup_hashed(docs: DataFrame) -> DataFrame:
     10^12 lines (a single xxhash64 would NOT survive that scale:
     10^24/2^65 >> 1). Line strings never leave their occurrence rows;
     the per-doc reassembly is the same ordered aggregation."""
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    ).filter(F.col("text").isNotNull())
-    lines = base.select(
-        "doc_id",
-        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
-    ).withColumn("k", F.trim(F.col("line")))
-    blanks = lines.filter(F.col("k") == "").select("doc_id", "pos", "line")
+    base, blanks, nonblank = _exploded_lines(docs)
     nonblank = (
-        lines.filter(F.col("k") != "")
-        .withColumn("h1", F.xxhash64(F.col("k")))
+        nonblank.withColumn("h1", F.xxhash64(F.col("k")))
         .withColumn("h2", F.xxhash64(F.lit(1), F.col("k")))
         .drop("k")
     )
@@ -1603,29 +1622,7 @@ def line_dedup_hashed(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "pos", "line")
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("cleaned"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        base.select(
-            "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines")
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-    )
+    return _reassemble_lines(base, kept)
 
 
 BOILERPLATE_MIN_DF = 3
@@ -1656,15 +1653,7 @@ def boilerplate_lines(
     line_dedup_hashed 128-bit key instead of the string.
     Reference analog: the cleanup intent of doc2md_utils.py's markdown
     post-processing, lifted to corpus granularity."""
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    ).filter(F.col("text").isNotNull())
-    lines = base.select(
-        "doc_id",
-        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
-    ).withColumn("k", F.trim(F.col("line")))
-    blanks = lines.filter(F.col("k") == "").select("doc_id", "pos", "line")
-    nonblank = lines.filter(F.col("k") != "")
+    base, blanks, nonblank = _exploded_lines(docs)
     boiler = (
         nonblank.groupBy("k")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -1676,53 +1665,13 @@ def boilerplate_lines(
             "doc_id", "pos", "line"
         )
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("cleaned"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        base.select(
-            "doc_id", F.size(F.split("text", "\n", -1)).alias("n_lines")
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
-    )
+    return _reassemble_lines(base, kept)
 
 
 # Gate oracle: same reflowed-corpus view as LINE_DEDUP_REFLOW_SQL, then
 # the document-frequency rule instead of first-occurrence.
 BOILERPLATE_LINES_SQL = f"""
-WITH rdocs AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         array_to_string(
-           list_transform(
-             range(0, CAST(ceil(len(string_split(text, ' ')) / 12.0)
-                           AS BIGINT)),
-             i -> array_to_string(
-                    list_slice(string_split(text, ' '),
-                               i * 12 + 1, i * 12 + 12), ' ')),
-           chr(10)) AS text
-  FROM documents
-  WHERE text IS NOT NULL
-),
-lines AS (
-  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ls[i] AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rdocs),
-       unnest(range(1, CAST(len(ls) AS BIGINT) + 1)) AS t(i)
-),
-keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines),
+WITH {_REFLOW_LINES_CTES},
 boiler AS (
   SELECT k FROM keyed WHERE k <> ''
   GROUP BY k HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
@@ -1731,15 +1680,5 @@ kept AS (
   SELECT doc_id, pos, line FROM keyed
   WHERE k = '' OR k NOT IN (SELECT k FROM boiler)
 ),
-rebuilt AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
-         COUNT(*) AS n_kept
-  FROM kept GROUP BY doc_id
-),
-tot AS (
-  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM rdocs
-)
-SELECT t.doc_id AS doc_id, COALESCE(r.cleaned, '') AS cleaned,
-       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
-FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+{_REASSEMBLE_LINES_SQL}
 """

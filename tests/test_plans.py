@@ -151,3 +151,29 @@ def test_simhash64_banded_has_no_nested_loop(spark, flat_docs):
     )
 
     assert_no_nested_loop(simhash64_pairs_banded(flat_docs))
+
+
+def test_semdedup_grouped_single_exchange(spark):
+    """The grouped SemDeDup production path's whole plan has exactly ONE
+    Exchange — the cid shuffle feeding the per-cluster verify kernel.
+    Assignment is a mapInPandas projection (no crossJoin row inflation,
+    no join), so each vector crosses the wire once; a second Exchange
+    appearing means the rewrite regressed to a join shape."""
+    from gpt4ocontentextraction_spark.operators.retrieval import (
+        semdedup_pairs_grouped,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_no_nested_loop,
+        physical_plan,
+    )
+
+    df = semdedup_pairs_grouped(spark, SF)
+    assert_no_nested_loop(df)
+    plan = physical_plan(df)
+    # formatted plans name each node twice (tree + detail section):
+    # count the detail headers, the unambiguous one-per-node form
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -60,8 +60,12 @@ def test_semdedup_keeper_rule(spark):
 
 
 def test_semdedup_k_bounds_pairs(spark):
-    """More clusters -> never more candidate pairs (the knob that keeps
-    the pair count bounded at scale)."""
+    """More clusters -> fewer-or-equal candidate pairs ON THIS CORPUS
+    (a deterministic fixture, so this is a stable regression pin, not a
+    theorem — K=64 cells are not refinements of K=8 cells, so a pair
+    split at K=8 could in principle co-locate at K=64). The knob that
+    bounds per-cluster pair sets at scale is cluster count; this pins
+    that raising it doesn't blow the candidate set up here."""
     n8 = R.semdedup_pairs(spark, SF, n_clusters=8).count()
     n64 = R.semdedup_pairs(spark, SF, n_clusters=64).count()
     assert n64 <= n8
