@@ -832,6 +832,18 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra("curation_pipeline", curation.CURATION_PIPELINE_SQL)
+def q_curation_pipeline(spark, sf_dir):
+    """The COMPOSED cleanup pass — PII masking -> boilerplate-line
+    removal -> corpus-wide line dedup, with per-stage accounting — as
+    one lazy relational plan; the oracle composes the three stages'
+    CTE fragments into one statement. Proves the curation family
+    composes, not just that each member gates alone. EXTRA
+    (local-parity) gate; non-trivial-stage-counts pinned in
+    tests/test_pii_boilerplate.py."""
+    return curation.curation_pipeline(_docs(spark, sf_dir))
+
+
 @register_extra("dedup_cut", dedup.DEDUP_CUT_SQL)
 def q_dedup_cut(spark, sf_dir):
     """APPLY the substring dedup: text with every duplicated range cut

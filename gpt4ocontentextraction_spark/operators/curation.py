@@ -789,8 +789,12 @@ def pii_redact(docs: DataFrame) -> DataFrame:
 
 # Backslashes survive verbatim in both carriers: this is a Python raw
 # string, and DuckDB string literals do not process escapes.
-PII_REDACT_SQL = rf"""
-WITH pdocs AS (
+
+
+def seed_pii_cte(src: str = "documents", out: str = "pdocs") -> str:
+    """SQL twin of seed_pii over relation ``src`` (doc_id, text),
+    emitted as CTE ``out`` — composable (CURATION_PIPELINE_SQL)."""
+    return f"""{out} AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CASE
            WHEN doc_id % 3 = 0 THEN
@@ -805,10 +809,15 @@ WITH pdocs AS (
                   || '@example.org.'
            ELSE text
          END AS text
-  FROM documents
+  FROM {src}
   WHERE text IS NOT NULL
-)
-SELECT doc_id,
+)"""
+
+
+def pii_redact_select(src: str = "pdocs") -> str:
+    """SQL twin of pii_redact over relation ``src`` (doc_id, text) —
+    the SELECT body, usable bare or wrapped in a CTE."""
+    return rf"""SELECT doc_id,
        regexp_replace(
          regexp_replace(
            regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
@@ -820,5 +829,114 @@ SELECT doc_id,
          AS n_phones,
        CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
          AS n_ips
-FROM pdocs
+FROM {src}"""
+
+
+PII_REDACT_SQL = f"""
+WITH {seed_pii_cte()}
+{pii_redact_select()}
 """
+
+
+# ---------------------------------------------------------------------------
+# 8. Composed curation pipeline (the user's actual cleanup pass)
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """The composed pre-training cleanup pass a corpus actually gets —
+    PII masking, then boilerplate-line removal, then corpus-wide exact
+    line dedup — with per-stage accounting, proving the curation
+    operators compose RELATIONALLY (one lazy plan end-to-end, no
+    materialization between stages; Catalyst fuses the projections and
+    AQE sizes every stage's exchange). Returns
+    ``(doc_id, cleaned, n_pii, n_boiler, n_dedup, n_chars)``.
+
+    Stage order is the production order: masking first (so masks can't
+    leak into dedup keys asymmetrically), the document-frequency rule
+    before first-occurrence dedup (site furniture removed everywhere,
+    then surviving duplicates keep one copy). The gate runs over the
+    deterministically PII-seeded reflowed view so every stage's count
+    is asserted non-zero (the embedding_neardup lesson).
+
+    Scale shape: the union of the component shapes — each stage's
+    corpus-wide exchange is line-keyed and map-side combined; nothing
+    new materializes driver-side. At 10^12 docs the two line-key
+    exchanges ride the line_dedup_hashed 128-bit key."""
+    from . import dedup
+
+    p = pii_redact(seed_pii(docs))
+    reflowed = dedup.reflow_lines(
+        p.select("doc_id", F.col("cleaned").alias("text"))
+    )
+    b = dedup.boilerplate_lines(reflowed)
+    d = dedup.line_dedup(
+        b.select("doc_id", F.col("cleaned").alias("text"))
+    )
+    return (
+        d.join(
+            b.select("doc_id", F.col("n_removed").alias("n_boiler")),
+            "doc_id",
+        )
+        .join(
+            p.select(
+                "doc_id",
+                (
+                    F.col("n_emails") + F.col("n_phones") + F.col("n_ips")
+                ).alias("n_pii"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "cleaned",
+            F.col("n_pii").cast("long").alias("n_pii"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            F.col("n_removed").cast("long").alias("n_dedup"),
+            F.length("cleaned").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    from .dedup import (
+        BOILERPLATE_MIN_DF,
+        line_keyed_ctes,
+        reassemble_ctes,
+        reflow_cte,
+    )
+
+    return f"""
+WITH {seed_pii_cte('documents', 'pdocs')},
+pii AS ({pii_redact_select('pdocs')}),
+ptext AS (SELECT doc_id, cleaned AS text FROM pii),
+{reflow_cte('ptext', 'rdocs')},
+{line_keyed_ctes('rdocs', 'b_')},
+b_boiler AS (
+  SELECT k FROM b_keyed WHERE k <> ''
+  GROUP BY k HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+),
+b_kept AS (
+  SELECT doc_id, pos, line FROM b_keyed
+  WHERE k = '' OR k NOT IN (SELECT k FROM b_boiler)
+),
+{reassemble_ctes('rdocs', 'b_')},
+btext AS (SELECT doc_id, cleaned AS text FROM b_out),
+{line_keyed_ctes('btext', 'd_')},
+d_ranked AS (
+  SELECT doc_id, pos, line, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+  FROM d_keyed
+),
+d_kept AS (SELECT doc_id, pos, line FROM d_ranked WHERE k = '' OR rn = 1),
+{reassemble_ctes('btext', 'd_')}
+SELECT d.doc_id AS doc_id, d.cleaned AS cleaned,
+       CAST(p.n_emails + p.n_phones + p.n_ips AS BIGINT) AS n_pii,
+       CAST(b.n_removed AS BIGINT) AS n_boiler,
+       CAST(d.n_removed AS BIGINT) AS n_dedup,
+       CAST(len(d.cleaned) AS BIGINT) AS n_chars
+FROM d_out d JOIN b_out b USING (doc_id) JOIN pii p USING (doc_id)
+"""
+
+
+CURATION_PIPELINE_SQL = _curation_pipeline_sql()

@@ -1540,10 +1540,17 @@ def line_dedup(docs: DataFrame) -> DataFrame:
 
 
 # Shared oracle fragments for the line-granularity family — the SQL
-# twins of _exploded_lines (reflow view + explode + trimmed key) and
+# twins of _exploded_lines (explode + trimmed key) and
 # _reassemble_lines (ordered rebuild + n_removed accounting); each
-# oracle supplies only its own `kept` CTE between them.
-_REFLOW_LINES_CTES = """rdocs AS (
+# oracle supplies only its own `kept` CTE between them. The builders
+# take the source relation name and a CTE-name prefix so two family
+# members can compose inside ONE statement (CURATION_PIPELINE_SQL).
+
+
+def reflow_cte(src: str, out: str = "rdocs") -> str:
+    """The SQL twin of reflow_lines(12) over relation ``src`` holding
+    (doc_id, text), emitted as CTE ``out``."""
+    return f"""{out} AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          array_to_string(
            list_transform(
@@ -1553,27 +1560,50 @@ _REFLOW_LINES_CTES = """rdocs AS (
                     list_slice(string_split(text, ' '),
                                i * 12 + 1, i * 12 + 12), ' ')),
            chr(10)) AS text
-  FROM documents
+  FROM {src}
   WHERE text IS NOT NULL
-),
-lines AS (
+)"""
+
+
+def line_keyed_ctes(src: str, p: str = "") -> str:
+    """lines + trimmed-key CTEs over relation ``src`` holding
+    (doc_id, text); CTE names prefixed with ``p``."""
+    return f"""{p}lines AS (
   SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ls[i] AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rdocs),
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {src}),
        unnest(range(1, CAST(len(ls) AS BIGINT) + 1)) AS t(i)
 ),
-keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM lines)"""
+{p}keyed AS (SELECT doc_id, pos, line, trim(line) AS k FROM {p}lines)"""
 
-_REASSEMBLE_LINES_SQL = """rebuilt AS (
+
+def reassemble_ctes(src: str, p: str = "") -> str:
+    """Ordered rebuild + n_removed accounting as composable CTEs:
+    reads ``{p}kept`` (doc_id, pos, line) and the original relation
+    ``src`` (doc_id, text); emits ``{p}out`` holding
+    (doc_id, cleaned, n_removed)."""
+    return f"""{p}rebuilt AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
          COUNT(*) AS n_kept
-  FROM kept GROUP BY doc_id
+  FROM {p}kept GROUP BY doc_id
 ),
-tot AS (
-  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM rdocs
+{p}tot AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM {src}
+),
+{p}out AS (
+  SELECT t.doc_id AS doc_id, COALESCE(r.cleaned, '') AS cleaned,
+         CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+  FROM {p}tot t LEFT JOIN {p}rebuilt r USING (doc_id)
+)"""
+
+
+_REFLOW_LINES_CTES = (
+    reflow_cte("documents") + ",\n" + line_keyed_ctes("rdocs")
 )
-SELECT t.doc_id AS doc_id, COALESCE(r.cleaned, '') AS cleaned,
-       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
-FROM tot t LEFT JOIN rebuilt r USING (doc_id)"""
+
+_REASSEMBLE_LINES_SQL = (
+    reassemble_ctes("rdocs")
+    + "\nSELECT doc_id, cleaned, n_removed FROM out"
+)
 
 # Gate oracle: the reflowed-corpus view (rdocs, bit-identical to
 # reflow_lines at 12 words/line) followed by the same first-occurrence

@@ -84,3 +84,45 @@ def test_boilerplate_non_trivial_on_reflowed_corpus(spark):
     )
     out = dedup.boilerplate_lines(docs)
     assert out.selectExpr("sum(n_removed) r").first()["r"] > 0
+
+
+def test_curation_pipeline_every_stage_fires(spark):
+    """The composed pass (pii -> boilerplate -> line dedup) asserts a
+    non-zero count at EVERY stage on the seeded corpus — a pipeline
+    where some stage silently no-ops would still hash-match a
+    similarly-broken oracle, so the gate needs this independent pin."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curation.curation_pipeline(docs)
+    agg = out.selectExpr(
+        "count(*) n",
+        "sum(n_pii) pii",
+        "sum(n_boiler) boiler",
+        "sum(n_dedup) dedup",
+        "sum(cast(n_chars = length(cleaned) as long)) chars_ok",
+    ).first()
+    assert agg["n"] == 500
+    assert agg["pii"] > 0 and agg["boiler"] > 0 and agg["dedup"] > 0
+    assert agg["chars_ok"] == agg["n"]
+
+
+def test_curation_pipeline_stages_match_components(spark):
+    """Composition changes nothing: running the three components by
+    hand yields the pipeline's exact rows."""
+    from gpt4ocontentextraction_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    p = curation.pii_redact(curation.seed_pii(docs))
+    b = D.boilerplate_lines(
+        D.reflow_lines(p.select("doc_id", F.col("cleaned").alias("text")))
+    )
+    d = D.line_dedup(b.select("doc_id", F.col("cleaned").alias("text")))
+    manual = {
+        r["doc_id"]: (r["cleaned"], r["n_removed"]) for r in d.collect()
+    }
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_dedup"])
+        for r in curation.curation_pipeline(docs).collect()
+    }
+    assert got == manual
