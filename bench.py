@@ -178,6 +178,7 @@ HEADLINE = (
     "semdedup_k64",
     "unigram_logprob",
     "dsir_weights",
+    "c4_filters",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

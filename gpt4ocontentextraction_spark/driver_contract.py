@@ -832,6 +832,22 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra("c4_filters", curation.C4_FILTERS_SQL)
+def q_c4_filters(spark, sf_dir):
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2): per-line
+    terminal-punctuation / >=5-words / no-javascript rules plus the
+    per-document lorem-ipsum / curly-brace / >=3-kept-lines rules,
+    with per-rule violation counters — over the reflowed corpus view
+    seeded so every rule demonstrably fires (261 kept / 239 dropped at
+    sf0.001; the seed_pii lesson: an unseeded gate would drop 100% of
+    lines on the punctuation rule alone). One JVM higher-order-function
+    projection, zero shuffles (plan pinned in tests/test_c4.py). EXTRA
+    (local-parity) gate, swept by tests/test_oracle_parity.py."""
+    return curation.c4_filters(
+        curation.seed_c4(dedup.reflow_lines(_docs(spark, sf_dir)))
+    )
+
+
 @register_extra("curation_pipeline", curation.CURATION_PIPELINE_SQL)
 def q_curation_pipeline(spark, sf_dir):
     """The COMPOSED cleanup pass — PII masking -> boilerplate-line

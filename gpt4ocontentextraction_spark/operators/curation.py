@@ -940,3 +940,192 @@ FROM d_out d JOIN b_out b USING (doc_id) JOIN pii p USING (doc_id)
 
 
 CURATION_PIPELINE_SQL = _curation_pipeline_sql()
+
+
+# ---------------------------------------------------------------------------
+# 9. C4 heuristic line/document filters (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+#
+# The C4 cleaning pass the reference pipeline would need before its
+# extraction output becomes pre-training data: per-LINE rules (keep a
+# line only if it ends in terminal punctuation, has >= C4_MIN_WORDS
+# words, and does not mention javascript) and per-DOCUMENT rules (drop
+# a page with fewer than C4_MIN_KEPT_LINES surviving lines, or one
+# containing "lorem ipsum" or a curly brace). All rules are doc-local,
+# so the operator is ONE whole-stage-codegen JVM projection over
+# higher-order functions — zero shuffles, zero Python; at 100 TB it
+# pipelines with the scan like pii_redact.
+
+C4_MIN_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def seed_c4(docs: DataFrame) -> DataFrame:
+    """Deterministic C4-trigger view for the filter gate: the synthetic
+    corpus has no punctuation, so every line would fail the terminal-
+    punctuation rule and the gate would only prove emptiness (the
+    embedding_neardup / seed_pii lesson). Keyed on (doc_id, line index):
+    h = (doc_id*31 + i*7) % 10 — h < 6 appends '.', h == 6 appends
+    ' requires javascript.' (passes the punctuation rule, fails the
+    javascript rule — rule isolation), else untouched (fails the
+    punctuation rule). Doc-level poison: doc_id % 37 == 0 gains a
+    'lorem ipsum' line, doc_id % 41 == 3 a '{' line. NULL-text rows
+    are dropped (matches the oracle CTE). Input is the reflowed view
+    (multi-line text)."""
+    decorated = F.expr(
+        "transform(split(text, '\n'), (l, i) -> CASE"
+        " WHEN (doc_id * 31 + i * 7) % 10 < 6 THEN l || '.'"
+        " WHEN (doc_id * 31 + i * 7) % 10 = 6"
+        " THEN l || ' requires javascript.'"
+        " ELSE l END)"
+    )
+    did = F.col("doc_id").cast("long")
+    base = F.array_join(decorated, "\n")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(did.alias("doc_id"), "text")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 37 == 0,
+                F.concat(base, F.lit("\nlorem ipsum dolor sit amet.")),
+            )
+            .when(
+                F.col("doc_id") % 41 == 3,
+                F.concat(base, F.lit("\nvar f = function() { return 0; }")),
+            )
+            .otherwise(base)
+            .alias("text"),
+        )
+    )
+
+
+_C4_PUNCT = "right(trim(l), 1) IN ('.', '!', '?', '\"')"
+_C4_LEN = f"size(split(trim(l), ' ')) >= {C4_MIN_WORDS}"
+_C4_JS = "contains(lower(l), 'javascript')"
+
+
+def c4_filters(docs: DataFrame) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) over ``(doc_id, text)``
+    with per-rule accounting. Line rules — a line survives iff it ends
+    in a terminal punctuation mark ('.', '!', '?', '\"'), carries at
+    least C4_MIN_WORDS space-separated words, and does not contain the
+    word 'javascript' (case-insensitive). Document rules — ``keep=0``
+    when fewer than C4_MIN_KEPT_LINES lines survive, or the page
+    contains 'lorem ipsum' (boilerplate placeholder) or '{' (code);
+    dropped documents emit ``cleaned=''``. Violation counters are
+    per-rule independent (a line can count against several).
+
+    Returns (doc_id, cleaned, n_lines, n_kept, n_nopunct, n_short,
+    n_js, keep).
+
+    Scale shape: every rule is doc-local, so the whole operator is one
+    JVM projection over higher-order functions (filter/transform over
+    the split-line array) — no shuffle, no Python, full whole-stage
+    codegen; it pipelines with the parquet scan and prunes to
+    (doc_id, text). Reference analog: the markdown post-processing
+    seam (doc2md_utils.py) — the reference never cleans for
+    pre-training; C4 is the canonical recipe."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    t = base.select(
+        "doc_id", "text", F.expr("split(text, '\n')").alias("ls")
+    )
+    kept = F.expr(
+        f"filter(ls, l -> {_C4_PUNCT} AND {_C4_LEN} AND NOT {_C4_JS})"
+    )
+    n_kept = F.size(kept).cast("long")
+    keep = (
+        (n_kept >= C4_MIN_KEPT_LINES)
+        & ~F.contains(F.lower("text"), F.lit("lorem ipsum"))
+        & ~F.contains(F.col("text"), F.lit("{"))
+    )
+    return t.select(
+        "doc_id",
+        F.when(keep, F.array_join(kept, "\n")).otherwise("").alias(
+            "cleaned"
+        ),
+        F.expr("size(ls)").cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.expr(f"size(filter(ls, l -> NOT ({_C4_PUNCT})))")
+        .cast("long")
+        .alias("n_nopunct"),
+        F.expr(f"size(filter(ls, l -> NOT ({_C4_LEN})))")
+        .cast("long")
+        .alias("n_short"),
+        F.expr(f"size(filter(ls, l -> {_C4_JS}))")
+        .cast("long")
+        .alias("n_js"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+def seed_c4_cte(src: str = "rdocs", out: str = "cdocs") -> str:
+    """SQL twin of seed_c4 over relation ``src`` (doc_id, text),
+    emitted as CTE ``out``."""
+    return f"""{out} AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0
+              THEN base || chr(10) || 'lorem ipsum dolor sit amet.'
+              WHEN doc_id % 41 = 3
+              THEN base || chr(10) || 'var f = function() {{ return 0; }}'
+              ELSE base END AS text
+  FROM (
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(1, len(ls) + 1), i ->
+               CASE WHEN (doc_id * 31 + (i - 1) * 7) % 10 < 6
+                    THEN ls[i] || '.'
+                    WHEN (doc_id * 31 + (i - 1) * 7) % 10 = 6
+                    THEN ls[i] || ' requires javascript.'
+                    ELSE ls[i] END),
+             chr(10)) AS base
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 string_split(text, chr(10)) AS ls
+          FROM {src} WHERE text IS NOT NULL)
+  )
+)"""
+
+
+_C4_PUNCT_D = "right(trim(l), 1) IN ('.', '!', '?', '\"')"
+_C4_LEN_D = f"len(string_split(trim(l), ' ')) >= {C4_MIN_WORDS}"
+_C4_JS_D = "contains(lower(l), 'javascript')"
+
+
+def c4_filters_select(src: str = "cdocs") -> str:
+    """SQL twin of c4_filters over relation ``src`` (doc_id, text)."""
+    return f"""SELECT doc_id,
+       CASE WHEN keep = 1 THEN array_to_string(kept, chr(10))
+            ELSE '' END AS cleaned,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(len(list_filter(ls, l -> NOT ({_C4_PUNCT_D}))) AS BIGINT)
+         AS n_nopunct,
+       CAST(len(list_filter(ls, l -> NOT ({_C4_LEN_D}))) AS BIGINT)
+         AS n_short,
+       CAST(len(list_filter(ls, l -> {_C4_JS_D})) AS BIGINT) AS n_js,
+       keep
+FROM (
+  SELECT doc_id, ls, kept,
+         CAST(len(kept) >= {C4_MIN_KEPT_LINES}
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{{') AS BIGINT) AS keep
+  FROM (
+    SELECT doc_id, text, ls,
+           list_filter(ls, l -> {_C4_PUNCT_D} AND {_C4_LEN_D}
+                                AND NOT {_C4_JS_D}) AS kept
+    FROM (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+          FROM {src} WHERE text IS NOT NULL)
+  )
+)"""
+
+
+from .dedup import reflow_cte as _reflow_cte  # noqa: E402  (shared view)
+
+C4_FILTERS_SQL = f"""
+WITH {_reflow_cte('documents')},
+{seed_c4_cte()}
+{c4_filters_select()}
+"""
