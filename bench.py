@@ -172,6 +172,7 @@ HEADLINE = (
     "dup_ngram_spans_hashed",
     "line_dedup",
     "line_dedup_hashed",
+    "bloom_incremental_dedup",
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",

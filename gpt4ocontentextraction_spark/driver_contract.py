@@ -832,6 +832,24 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra(
+    "bloom_incremental_dedup", dedup.BLOOM_INCREMENTAL_DEDUP_SQL
+)
+def q_bloom_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup of a new batch against a prior snapshot
+    (every doc_id % 4 == 0 doc counts as already ingested, so the gate
+    drops a real ~25%): Bloom misses are definitely-new and never join;
+    only the candidate sliver enters the exact verification anti-join,
+    which strips false positives — so the result is EXACT and the
+    oracle is the plain NOT EXISTS. Filter built relationally
+    (bit_or aggregate, m/64-row bounded collect); membership is a
+    codegen'd element_at/bitwiseAND over an array<long> literal. EXTRA
+    (local-parity) gate; FP-exactness and plan shape pinned in
+    tests/test_bloom_dedup.py."""
+    docs = _docs(spark, sf_dir)
+    return dedup.bloom_incremental_dedup(docs, dedup.prior_snapshot(docs))
+
+
 @register_extra("c4_filters", curation.C4_FILTERS_SQL)
 def q_c4_filters(spark, sf_dir):
     """C4 heuristic cleaning (Raffel et al. 2020 §2.2): per-line

@@ -1712,3 +1712,137 @@ kept AS (
 ),
 {_REASSEMBLE_LINES_SQL}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental exact dedup (ingest-vs-snapshot)
+# ---------------------------------------------------------------------------
+#
+# The incremental-ingestion counterpart of exact_dedup: a NEW batch is
+# deduplicated against an already-ingested PRIOR snapshot. The scale
+# problem is that a plain anti-join shuffles (or broadcast-builds over)
+# the ENTIRE new batch; with a Bloom filter over the prior's text
+# hashes, rows the filter rejects are DEFINITELY new and never touch
+# the join — only bloom hits (true overlaps + the ~(1-e^{-kn/m})^k
+# false-positive sliver) enter the exact verification anti-join, which
+# then removes the false positives, so the result is EXACT and the
+# oracle is a plain NOT EXISTS. At 100 TB with a 1% overlap, ~99% of
+# rows ride the scan->filter codegen path and never shuffle.
+#
+# The filter itself is built relationally — explode k=BLOOM_K hash
+# positions per prior row, bit-pack into 64-bit words, groupBy word
+# index with bit_or (map-side combinable) — so the build scales to any
+# prior size; only m/64 words are collected (bounded by the filter
+# size, not the data). Membership is a pure JVM expression over an
+# array<long> literal: element_at + bitwiseAND inside whole-stage
+# codegen, no Python, no shuffle. For filters too big for a plan
+# literal (GB-scale m), ship the same words relation as a broadcast
+# join on word index instead; the gate exercises the literal arm.
+
+BLOOM_M_BITS = 4096  # power of two; gate-scale (prior ~125 texts)
+BLOOM_K = 3
+
+
+def _bloom_pos(col, i: int, m: int):
+    """i-th Bloom position of a text value: pmod(xxhash64(text, i), m).
+    Seeding via the extra xxhash64 argument gives k independent hash
+    families from the one JVM hash primitive."""
+    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+
+
+def bloom_build(prior: DataFrame, m: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """Aggregate ``prior.text`` into an m-bit Bloom filter, returned as
+    a Python list of m/64 longs. Distributed build: k positions per
+    row -> (word index, bit) -> groupBy(word).agg(bit_or) — partial
+    aggregation happens map-side, and the collect is bounded by m/64
+    rows regardless of prior size."""
+    pos = F.explode(
+        F.array(*[_bloom_pos(F.col("text"), i, m) for i in range(k)])
+    ).alias("p")
+    words = (
+        prior.filter(F.col("text").isNotNull())
+        .select(pos)
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int"),
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def _bloom_might_contain(bloom_words, col, m: int, k: int):
+    """JVM membership test: AND over the k positions of
+    (words[pos/64] & (1 << pos%64)) != 0 — element_at over an
+    array<long> literal, whole-stage codegen, no Python."""
+    lit_words = F.lit(bloom_words)
+    cond = None
+    for i in range(k):
+        p = _bloom_pos(col, i, m)
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        c = word.bitwiseAND(bit) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_incremental_dedup(
+    new_batch: DataFrame,
+    prior: DataFrame,
+    m: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Exact incremental dedup of ``new_batch`` against ``prior`` by
+    text equality, Bloom-prefiltered. Returns the genuinely-new rows
+    ``(doc_id, text)`` — rows whose text appears nowhere in prior.
+
+    Two legs over the batch: bloom MISSES are definitely new (pure
+    codegen filter, no join); bloom HITS are candidates and pass
+    through an exact anti-join against prior, which strips the false
+    positives. No false negatives by construction (every prior text
+    set all k of its bits), so result == plain anti-join — the gate's
+    DuckDB oracle IS the plain NOT EXISTS. The anti-join's left side
+    carries only the candidate sliver (plan pinned in
+    tests/test_bloom_dedup.py)."""
+    bloom = bloom_build(prior, m, k)
+    base = new_batch.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    cand = _bloom_might_contain(bloom, F.col("text"), m, k)
+    definitely_new = base.filter(~cand)
+    survivors = base.filter(cand).join(
+        prior.select("text").filter(F.col("text").isNotNull()).distinct(),
+        on="text",
+        how="left_anti",
+    )
+    return definitely_new.unionByName(survivors.select("doc_id", "text"))
+
+
+def prior_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic prior-snapshot view for the incremental-dedup
+    gate: every doc_id % 4 == 0 document counts as already ingested,
+    so the gate drops a real ~25% of the batch (plus any cross-doc
+    exact-text duplicates) instead of proving emptiness."""
+    return docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+
+
+BLOOM_INCREMENTAL_DEDUP_SQL = """
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text AS text
+FROM documents d
+WHERE d.text IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM documents p
+    WHERE p.doc_id % 4 = 0 AND p.text IS NOT NULL AND p.text = d.text
+  )
+"""

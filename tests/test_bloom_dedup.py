@@ -1,0 +1,75 @@
+"""Unit tests for bloom_incremental_dedup (dedup.py): exactness under
+forced false positives, no-false-negative construction, and the plan
+shape (codegen membership filter; anti-join fed only by the candidate
+sliver). The oracle-parity sweep covers the sf0.001/sf0.01 gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpt4ocontentextraction_spark.operators import dedup
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_vs_anti_join_on_hand_corpus(spark):
+    new = _df(
+        spark,
+        [(i, f"doc text number {i}") for i in range(40)]
+        + [(100, "shared alpha"), (101, "shared beta"), (102, None)],
+    )
+    prior = _df(
+        spark,
+        [(900, "shared alpha"), (901, "shared beta"), (902, "only prior")],
+    )
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup.bloom_incremental_dedup(new, prior).collect()
+    )
+    want = sorted((i, f"doc text number {i}") for i in range(40))
+    assert got == want  # shared texts dropped, NULL text dropped
+
+
+def test_exact_under_forced_false_positives(spark):
+    """m=64 bits with 30 prior texts saturates the filter — nearly every
+    new row becomes a bloom candidate — yet the verification anti-join
+    keeps the result exact."""
+    new = _df(spark, [(i, f"new {i}") for i in range(50)])
+    prior = _df(spark, [(1000 + i, f"prior {i}") for i in range(30)])
+    bloom = dedup.bloom_build(prior, m=64, k=3)
+    n_cand = (
+        new.filter(
+            dedup._bloom_might_contain(bloom, F.col("text"), 64, 3)
+        ).count()
+    )
+    assert n_cand > 0  # the saturation actually produced false positives
+    got = dedup.bloom_incremental_dedup(new, prior, m=64, k=3).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(50))
+
+
+def test_no_false_negatives(spark):
+    """Every prior text must register as a bloom candidate (a false
+    negative would silently re-ingest a duplicate)."""
+    prior = _df(spark, [(i, f"snapshot doc {i * 17}") for i in range(200)])
+    bloom = dedup.bloom_build(prior)
+    hits = prior.filter(
+        dedup._bloom_might_contain(
+            bloom, F.col("text"), dedup.BLOOM_M_BITS, dedup.BLOOM_K
+        )
+    ).count()
+    assert hits == 200
+
+
+def test_plan_candidate_sliver_feeds_join(spark):
+    """The definitely-new leg must be a pure filter (no join); the
+    anti-join's left side must carry the bloom membership condition so
+    only candidates shuffle."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = dedup.bloom_incremental_dedup(docs, dedup.prior_snapshot(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan and "shiftleft" in plan
+    assert "EvalPython" not in plan
+    # exactly one join in the whole plan — the candidate verification
+    assert plan.count("LeftAnti") == 1
