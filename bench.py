@@ -180,6 +180,7 @@ HEADLINE = (
     "unigram_logprob",
     "dsir_weights",
     "c4_filters",
+    "top_ngrams",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

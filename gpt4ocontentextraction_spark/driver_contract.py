@@ -832,6 +832,18 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra("top_ngrams", curation.TOP_NGRAMS_SQL)
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-k frequent word n-grams with occurrence and
+    document-frequency counts — the corpus-statistics report a
+    curation run starts from. One Arrow gram scan (shared kernel with
+    dup_ngram_spans), map-side-combined hash aggregate, top-k via
+    TakeOrderedAndProject (never a global sort; plan pinned in
+    tests/test_curation.py); the (count desc, gram asc) cut is
+    deterministic on both engines. EXTRA (local-parity) gate."""
+    return curation.top_ngrams(_docs(spark, sf_dir))
+
+
 @register_extra(
     "bloom_incremental_dedup", dedup.BLOOM_INCREMENTAL_DEDUP_SQL
 )

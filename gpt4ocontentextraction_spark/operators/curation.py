@@ -1129,3 +1129,67 @@ WITH {_reflow_cte('documents')},
 {seed_c4_cte()}
 {c4_filters_select()}
 """
+
+
+# ---------------------------------------------------------------------------
+# 10. Corpus-wide top-k frequent n-grams (corpus statistics)
+# ---------------------------------------------------------------------------
+
+TOPGRAM_N = 4
+TOPGRAM_K = 100
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = TOPGRAM_N, k: int = TOPGRAM_K
+) -> DataFrame:
+    """The corpus-statistics report a curation run starts from: the k
+    most frequent word n-grams corpus-wide, with occurrence and
+    document-frequency counts. Feeds boilerplate discovery (high-df
+    grams), Gopher-style threshold calibration, and tokenizer-corpus
+    sanity checks.
+
+    Returns (gram, n_occurrences, n_docs), deterministically ordered
+    and cut: count desc, then gram asc at ties (the k-boundary is
+    stable on both engines).
+
+    Scale shape: gram extraction is ONE Arrow scan with zero
+    pre-shuffle (shared kernel with dup_ngram_spans /
+    contamination_check); the count is a hash aggregate on the gram
+    with map-side partial aggregation; document frequency is the
+    standard two-phase distinct aggregate over (gram, doc_id); the
+    final top-k is TakeOrderedAndProject — per-partition heaps merged
+    on the driver, never a global sort (plan pinned in
+    tests/test_curation.py). At 100 TB ride the hashed-gram narrowing
+    exactly as dup_ngram_spans_hashed does: aggregate on xxhash64(gram)
+    and join the surviving top slice back for display strings."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    grams = _word_ngrams(base, n)
+    agg = grams.groupBy("gram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    ).limit(k)
+
+
+TOP_NGRAMS_SQL = f"""
+WITH words AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(ws[i : i + {TOPGRAM_N} - 1], ' ') AS gram
+  FROM words,
+       unnest(range(1, greatest(CAST(len(ws) AS BIGINT) - {TOPGRAM_N} + 2,
+                                1))) AS t(i)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT {TOPGRAM_K}
+"""

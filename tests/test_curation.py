@@ -229,3 +229,34 @@ def test_dsir_weights_favor_target_like_docs(spark):
     # tokens; the mixed doc lands between
     assert out[1] > out[4] > out[3]
     assert out[1] == out[2]  # identical docs, identical weights
+
+
+# ---------------------------------------------------------------------------
+# top_ngrams (corpus-wide frequent-gram statistics)
+# ---------------------------------------------------------------------------
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    rows = [
+        (1, "x y z w x y z w"),   # 'x y' twice (overlapping windows)
+        (2, "x y z w only once"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.top_ngrams(df, n=2, k=3).collect()
+    got = [(r["gram"], r["n_occurrences"], r["n_docs"]) for r in out]
+    # 'x y', 'y z', 'z w' each occur 3x across 2 docs; k=3 cuts ties
+    # by gram asc, so the deterministic winners are exactly these
+    assert sorted(got) == [("x y", 3, 2), ("y z", 3, 2), ("z w", 3, 2)]
+
+
+def test_top_ngrams_plan_take_ordered(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    plan = (
+        C.top_ngrams(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # per-partition heaps merged on the driver, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
