@@ -181,6 +181,7 @@ HEADLINE = (
     "dsir_weights",
     "c4_filters",
     "top_ngrams",
+    "quality_classifier",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

@@ -832,6 +832,19 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra("quality_classifier", curation.QUALITY_CLASSIFIER_SQL)
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring, the fastText-classifier shape
+    (CCNet/LLaMA/Dolma pipelines): hashed bag-of-words features, a
+    BROADCAST n_buckets-row weights relation (deterministic stand-in
+    for a trained artifact — identical plan), sigmoid score + keep
+    flag. Integer weight numerators make the per-doc sum exact and
+    order-independent; both classes present at sf0.001 (492/8). EXTRA
+    (local-parity) gate; monotonicity + split cases in
+    tests/test_curation.py."""
+    return curation.quality_classifier(_docs(spark, sf_dir))
+
+
 @register_extra("top_ngrams", curation.TOP_NGRAMS_SQL)
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide top-k frequent word n-grams with occurrence and

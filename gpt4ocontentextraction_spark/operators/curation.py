@@ -1193,3 +1193,120 @@ FROM grams GROUP BY gram
 ORDER BY n_occurrences DESC, gram ASC
 LIMIT {TOPGRAM_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# 11. Model-based quality classifier (fastText shape)
+# ---------------------------------------------------------------------------
+
+QCLF_BUCKETS = 256
+# integer weight-table parameters: w_numer(b) = ((b*A + C) % P) - (P-1)/2,
+# actual weight = w_numer / P — a deterministic pseudo-trained vector
+# standing in for a model artifact (the EXECUTION shape is what matters)
+QCLF_A = 1103515245
+QCLF_C = 12345
+QCLF_P = 997
+QCLF_BIAS = 0.1
+QCLF_KEEP_MIN = 0.5
+
+
+def quality_classifier(docs: DataFrame, n_buckets: int = QCLF_BUCKETS) -> DataFrame:
+    """Model-based quality scoring — the fastText-classifier shape used
+    by CCNet/LLaMA/Dolma-style pipelines (a linear model over hashed
+    bag-of-words features, sigmoid output, threshold keep): tokens hash
+    into ``n_buckets`` via the cross-engine polyhash, bucket weights
+    come from a BROADCAST n_buckets-row weights relation (here derived
+    deterministically from the bucket index — in production the same
+    relation is loaded from a trained model artifact; the plan is
+    identical), and
+
+        score   = bias + (sum_t w[bucket(t)]) / n_tokens
+        quality = sigmoid(score),  keep = quality >= 0.5
+
+    Returns (doc_id, n_tokens, score, quality, keep).
+
+    Determinism: per-token weights stay INTEGER numerators through the
+    per-doc sum (exact, order-independent — stronger than the
+    decimal(38,20) device) and are divided by the common denominator
+    once at the end; both engines floor at 1e-4 and compute ``keep``
+    on the floored value.
+
+    Scale shape: explode + broadcast join against the n_buckets-row
+    weights relation + one per-doc groupBy (map-side combinable integer
+    sum) — the same exchange profile as dsir_weights; the model never
+    shuffles."""
+    from ..functions.hashing import spark_polyhash_over_array
+
+    harr = spark_polyhash_over_array("split(text, ' ')")
+    base = _docs_base(docs).filter(F.col("text").isNotNull())
+    toks = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform({harr}, h -> h % {n_buckets})")
+        ).alias("b"),
+    )
+    weights = (
+        docs.sparkSession.range(n_buckets)
+        .select(
+            F.col("id").alias("b"),
+            (
+                (F.col("id") * QCLF_A + QCLF_C) % QCLF_P
+                - (QCLF_P - 1) // 2
+            ).alias("wn"),
+        )
+    )
+    agg = (
+        toks.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.sum("wn").alias("wsum"))
+    )
+    score = F.lit(QCLF_BIAS) + (
+        F.col("wsum").cast("double") / F.lit(float(QCLF_P))
+    ) / F.col("n_tok").cast("double")
+    quality = _fl4(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)))
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        _fl4(score).alias("score"),
+        quality.alias("quality"),
+        (quality >= QCLF_KEEP_MIN).cast("long").alias("keep"),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    from ..functions.hashing import duck_polyhash_over_array
+
+    harr = duck_polyhash_over_array("string_split(text, ' ')")
+    nb, a, c, p = QCLF_BUCKETS, QCLF_A, QCLF_C, QCLF_P
+    return f"""
+WITH qtoks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(list_transform({harr}, h -> h % {nb})) AS b
+  FROM documents WHERE text IS NOT NULL
+),
+qweights AS (
+  SELECT CAST(b AS BIGINT) AS b,
+         (b * {a} + {c}) % {p} - {(p - 1) // 2} AS wn
+  FROM range({nb}) t(b)
+),
+qagg AS (
+  SELECT doc_id, count(*) AS n_tok, sum(wn) AS wsum
+  FROM qtoks JOIN qweights USING (b) GROUP BY doc_id
+),
+qscored AS (
+  SELECT doc_id, n_tok,
+         {QCLF_BIAS} + (wsum::DOUBLE / {float(p)}) / n_tok::DOUBLE AS s
+  FROM qagg
+),
+qfin AS (
+  SELECT doc_id, n_tok, floor(s * 10000) / 10000 AS score,
+         floor(1.0 / (1.0 + exp(-s)) * 10000) / 10000 AS quality
+  FROM qscored
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, score, quality,
+       CAST(quality >= {QCLF_KEEP_MIN} AS BIGINT) AS keep
+FROM qfin
+"""
+
+
+QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()

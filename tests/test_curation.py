@@ -260,3 +260,43 @@ def test_top_ngrams_plan_take_ordered(spark):
     # per-partition heaps merged on the driver, never a global sort
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier (fastText-shape linear model over hashed unigrams)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_deterministic_and_monotone(spark):
+    rows = [
+        (1, "a b a b", "en"),
+        (2, "a b a b", "en"),  # identical doc -> identical score
+        (3, "a b", "en"),      # same mean feature weight -> same score
+        (4, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in C.quality_classifier(df).collect()}
+    assert set(out) == {1, 2, 3}  # NULL text dropped
+    assert out[1]["score"] == out[2]["score"] == out[3]["score"]
+    assert out[1]["quality"] == out[2]["quality"]
+    assert out[1]["keep"] in (0, 1)
+    # sigmoid bounds and the keep rule applied to the floored value
+    for d in (1, 2, 3):
+        q = out[d]["quality"]
+        assert 0.0 <= q <= 1.0
+        assert out[d]["keep"] == (1 if q >= C.QCLF_KEEP_MIN else 0)
+
+
+def test_quality_classifier_plan_broadcast_model(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en")], "doc_id long, text string, lang string"
+    )
+    plan = (
+        C.quality_classifier(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the model joins broadcast; the token stream never shuffles by bucket
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
