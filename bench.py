@@ -182,6 +182,7 @@ HEADLINE = (
     "c4_filters",
     "top_ngrams",
     "quality_classifier",
+    "line_repetition_stats",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

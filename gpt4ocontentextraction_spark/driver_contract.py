@@ -832,6 +832,22 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra("line_repetition_stats", curation.LINE_REPETITION_SQL)
+def q_line_repetition_stats(spark, sf_dir):
+    """The line-granularity Gopher repetition rules (Rae et al. 2021
+    §A1.1): per-doc duplicate-line fraction and duplicate-line CHAR
+    fraction with the paper's keep thresholds, over a deterministically
+    dup-seeded reflow view (the reflowed corpus has ZERO natural
+    within-doc duplicate lines — measured; the seed makes 100 docs
+    carry dups and 51 cross the thresholds at sf0.001). One Arrow scan,
+    zero shuffles (plan pinned in tests/test_curation.py); the oracle
+    is the explode + per-(doc,line) aggregate spec form. EXTRA
+    (local-parity) gate."""
+    return curation.line_repetition_stats(
+        curation.seed_line_dups(dedup.reflow_lines(_docs(spark, sf_dir)))
+    )
+
+
 @register_extra("quality_classifier", curation.QUALITY_CLASSIFIER_SQL)
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality scoring, the fastText-classifier shape

@@ -1310,3 +1310,166 @@ FROM qfin
 
 
 QUALITY_CLASSIFIER_SQL = _quality_classifier_sql()
+
+
+# ---------------------------------------------------------------------------
+# 12. Gopher line-level repetition rules (dup_line_frac / char_frac)
+# ---------------------------------------------------------------------------
+
+GOPHER_DUP_LINE_MAX = 0.30  # Rae et al. 2021 A1.1: drop > 30% dup lines
+GOPHER_DUP_LINE_CHAR_MAX = 0.20  # drop > 20% chars in dup lines
+
+
+def seed_line_dups(docs: DataFrame) -> DataFrame:
+    """Deterministic within-doc duplicate-line view for the
+    line-repetition gate: the reflowed synthetic corpus has ZERO
+    within-doc duplicate lines (measured), so an unseeded gate proves
+    emptiness. doc_id % 5 == 0 re-appends the doc's first line once,
+    doc_id % 25 == 0 twice more — short docs then cross the Gopher
+    thresholds while long ones stay under, so both keep classes occur.
+    Input is the reflowed (multi-line) view; NULL text dropped."""
+    first = F.expr("element_at(split(text, '\n'), 1)")
+    did = F.col("doc_id").cast("long")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(did.alias("doc_id"), "text")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.concat_ws("\n", F.col("text"), first, first, first),
+            )
+            .when(
+                F.col("doc_id") % 5 == 0,
+                F.concat_ws("\n", F.col("text"), first),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def _line_stats_udf():
+    """One-pass per-doc line counters (total lines / chars, duplicate
+    occurrences beyond first and their chars) as an Arrow-batched
+    kernel — same zero-shuffle pattern as _rep_stats_udf; per-row
+    Counter loop is batch-amortized and per-doc bounded."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<n_lines: long, n_dup: long, chars: long, dup_chars: long>"
+    )
+    def line_stats(texts):
+        rows = []
+        for t in texts.tolist():
+            if t is None or t != t:
+                rows.append((None, None, None, None))
+                continue
+            ls = t.split("\n")
+            c = Counter(ls)
+            rows.append(
+                (
+                    len(ls),
+                    sum(v - 1 for v in c.values() if v >= 2),
+                    sum(len(x) for x in ls),
+                    sum(len(k) * (v - 1) for k, v in c.items() if v >= 2),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["n_lines", "n_dup", "chars", "dup_chars"]
+        )
+
+    return line_stats
+
+
+def line_repetition_stats(docs: DataFrame) -> DataFrame:
+    """The line-granularity half of the Gopher repetition rules (Rae et
+    al. 2021 §A1.1) that repetition_stats' word/bigram fractions leave
+    open: per document, the fraction of lines that are duplicates of an
+    earlier line (occurrences beyond the first) and the fraction of
+    characters inside those duplicate occurrences, with the paper's
+    keep thresholds (<= 0.30 lines, <= 0.20 chars).
+
+    Returns (doc_id, n_lines, dup_line_frac, dup_line_char_frac, keep).
+
+    Scale shape: stats are doc-local — ONE Arrow scan, zero shuffles
+    (plan pinned in tests/test_curation.py), unlike the oracle's
+    explode + per-(doc,line) aggregate spec form."""
+    stats = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            _line_stats_udf()(F.col("text")).alias("s"),
+        )
+    )
+    nl = F.col("s.n_lines").cast("double")
+    nc = F.greatest(F.col("s.chars"), F.lit(1)).cast("double")
+    lf = _fl4(F.col("s.n_dup") / nl)
+    cf = _fl4(F.col("s.dup_chars") / nc)
+    return stats.select(
+        "doc_id",
+        F.col("s.n_lines").alias("n_lines"),
+        lf.alias("dup_line_frac"),
+        cf.alias("dup_line_char_frac"),
+        (
+            (lf <= GOPHER_DUP_LINE_MAX) & (cf <= GOPHER_DUP_LINE_CHAR_MAX)
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def seed_line_dups_cte(src: str = "rdocs", out: str = "ldocs") -> str:
+    """SQL twin of seed_line_dups over relation ``src`` (doc_id, text)."""
+    return f"""{out} AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0
+              THEN text || chr(10) || f || chr(10) || f || chr(10) || f
+              WHEN doc_id % 5 = 0 THEN text || chr(10) || f
+              ELSE text END AS text
+  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+               string_split(text, chr(10))[1] AS f
+        FROM {src} WHERE text IS NOT NULL)
+)"""
+
+
+def line_repetition_stats_select(src: str = "ldocs") -> str:
+    """SQL twin of line_repetition_stats over relation ``src``."""
+    return f"""SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       floor(n_dup::DOUBLE / n_lines * 10000) / 10000 AS dup_line_frac,
+       floor(dup_chars::DOUBLE / greatest(chars, 1) * 10000) / 10000
+         AS dup_line_char_frac,
+       CAST(floor(n_dup::DOUBLE / n_lines * 10000) / 10000
+              <= {GOPHER_DUP_LINE_MAX}
+            AND floor(dup_chars::DOUBLE / greatest(chars, 1) * 10000)
+                  / 10000 <= {GOPHER_DUP_LINE_CHAR_MAX}
+            AS BIGINT) AS keep
+FROM (
+  SELECT doc_id, sum(c) AS n_lines,
+         sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS n_dup,
+         sum(ln * c) AS chars,
+         sum(CASE WHEN c >= 2 THEN ln * (c - 1) ELSE 0 END) AS dup_chars
+  FROM (
+    SELECT doc_id, l, count(*) AS c, len(l) AS ln
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+          FROM {src})
+    GROUP BY doc_id, l
+  )
+  GROUP BY doc_id
+)"""
+
+
+def _line_repetition_sql() -> str:
+    from .dedup import reflow_cte
+
+    return f"""
+WITH {reflow_cte('documents')},
+{seed_line_dups_cte()}
+{line_repetition_stats_select()}
+"""
+
+
+LINE_REPETITION_SQL = _line_repetition_sql()

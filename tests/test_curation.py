@@ -300,3 +300,50 @@ def test_quality_classifier_plan_broadcast_model(spark):
     # the model joins broadcast; the token stream never shuffles by bucket
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# line_repetition_stats (Gopher line-granularity rules)
+# ---------------------------------------------------------------------------
+
+
+def test_line_repetition_fractions(spark):
+    rows = [
+        (1, "aaaa\nbb\naaaa\ncc"),    # 'aaaa' twice: 1 dup line of 4
+        (2, "xx\nyy\nzz"),             # no dups
+        (3, "qq\nqq\nqq"),             # 2 dup occurrences of 3
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.line_repetition_stats(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_frac"] == 0.25
+    # dup chars = 4 ('aaaa' second occurrence) of 12 total
+    assert out[1]["dup_line_char_frac"] == 0.3333
+    assert out[1]["keep"] == 0  # char fraction 0.33 > 0.20
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["keep"] == 1
+    assert out[3]["dup_line_frac"] == 0.6666 and out[3]["keep"] == 0
+
+
+def test_line_repetition_plan_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        C.line_repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # stats are doc-local
+
+
+def test_seeded_line_dups_cross_thresholds(spark):
+    from gpt4ocontentextraction_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = C.line_repetition_stats(
+        C.seed_line_dups(dedup.reflow_lines(docs))
+    ).collect()
+    keeps = {r["keep"] for r in res}
+    assert keeps == {0, 1}
+    assert any(r["dup_line_frac"] > 0 for r in res)
