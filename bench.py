@@ -183,6 +183,7 @@ HEADLINE = (
     "top_ngrams",
     "quality_classifier",
     "line_repetition_stats",
+    "filter_funnel",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

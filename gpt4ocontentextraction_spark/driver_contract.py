@@ -832,6 +832,19 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra("filter_funnel", curation.FILTER_FUNNEL_SQL)
+def q_filter_funnel(spark, sf_dir):
+    """The curation attrition report (Dolma/RefinedWeb funnel): docs
+    surviving each successive stage — input -> Gopher length -> model
+    quality -> Gopher word-repetition — as ONE lazy plan joining the
+    member operators' keep relations (every stage shows real attrition
+    at sf0.001: 500 -> 284 -> 282 -> 249). Proves the filter families
+    compose, the design statement curation_pipeline makes for the
+    rewriting family. EXTRA (local-parity) gate; monotonicity case in
+    tests/test_curation.py."""
+    return curation.filter_funnel(_docs(spark, sf_dir))
+
+
 @register_extra("line_repetition_stats", curation.LINE_REPETITION_SQL)
 def q_line_repetition_stats(spark, sf_dir):
     """The line-granularity Gopher repetition rules (Rae et al. 2021

@@ -1473,3 +1473,96 @@ WITH {reflow_cte('documents')},
 
 
 LINE_REPETITION_SQL = _line_repetition_sql()
+
+
+# ---------------------------------------------------------------------------
+# 13. Filter funnel (pipeline attrition report)
+# ---------------------------------------------------------------------------
+
+FUNNEL_MIN_WORDS = 50  # Gopher doc-length rule (lower bound fits the corpus)
+
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """The attrition report every curation pipeline publishes (Dolma /
+    RefinedWeb-style funnel): how many documents survive each
+    successive filter stage —
+
+        0 input        non-null-text documents
+        1 length       >= FUNNEL_MIN_WORDS words (Gopher doc-length)
+        2 quality      quality_classifier keep (model-based score)
+        3 gopher_word  repetition_stats keep (word/bigram rules)
+
+    applied CUMULATIVELY, as ONE lazy relational plan (cheap-to-
+    expensive stage order, and every stage shows real attrition at
+    sf0.001: 500 -> 284 -> 282 -> 249). Returns
+    (stage_idx, stage, n_surviving) — 4 rows.
+
+    Proves the filter families COMPOSE (the per-doc keep relations join
+    on doc_id and fold into one aggregate), not just that each gates
+    alone — the same design statement as curation_pipeline for the
+    text-rewriting family.
+
+    Scale shape: two per-doc keep relations (each with the exchange
+    profile documented on its own operator) joined on doc_id, one
+    global aggregate (4 longs), one stack() projection. No new shuffle
+    classes beyond the member operators'."""
+    rep = repetition_stats(docs).select(
+        "doc_id",
+        F.col("n_words"),
+        F.col("keep").alias("rep_keep"),
+    )
+    q = quality_classifier(docs).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    j = rep.join(q, "doc_id")
+    len_ok = (F.col("n_words") >= FUNNEL_MIN_WORDS).cast("long")
+    s1 = len_ok
+    s2 = len_ok * F.col("q_keep")
+    s3 = s2 * F.col("rep_keep")
+    agg = j.agg(
+        F.count("*").alias("n0"),
+        F.sum(s1).alias("n1"),
+        F.sum(s2).alias("n2"),
+        F.sum(s3).alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0L, 'input', n0,"
+            " 1L, 'length', n1,"
+            " 2L, 'quality', n2,"
+            " 3L, 'gopher_word', n3)"
+        ).alias("stage_idx", "stage", "n_surviving")
+    ).select(
+        F.col("stage_idx").cast("long"),
+        "stage",
+        F.col("n_surviving").cast("long").alias("n_surviving"),
+    )
+
+
+def _filter_funnel_sql() -> str:
+    return f"""
+WITH f_rep AS ({REPETITION_STATS_SQL}),
+f_q AS ({QUALITY_CLASSIFIER_SQL}),
+f_flags AS (
+  SELECT r.doc_id,
+         CAST(r.n_words >= {FUNNEL_MIN_WORDS} AS BIGINT) AS len_ok,
+         r.keep AS rep_keep, q.keep AS q_keep
+  FROM f_rep r JOIN f_q q USING (doc_id)
+),
+f_agg AS (
+  SELECT count(*) AS n0, sum(len_ok) AS n1,
+         sum(len_ok * q_keep) AS n2,
+         sum(len_ok * q_keep * rep_keep) AS n3
+  FROM f_flags
+)
+SELECT CAST(s.idx AS BIGINT) AS stage_idx, s.stage AS stage,
+       CAST(CASE s.idx WHEN 0 THEN n0 WHEN 1 THEN n1
+                       WHEN 2 THEN n2 ELSE n3 END AS BIGINT)
+         AS n_surviving
+FROM f_agg,
+     (VALUES (0, 'input'), (1, 'length'),
+             (2, 'quality'), (3, 'gopher_word')) AS s(idx, stage)
+"""
+
+
+FILTER_FUNNEL_SQL = _filter_funnel_sql()

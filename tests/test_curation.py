@@ -347,3 +347,23 @@ def test_seeded_line_dups_cross_thresholds(spark):
     keeps = {r["keep"] for r in res}
     assert keeps == {0, 1}
     assert any(r["dup_line_frac"] > 0 for r in res)
+
+
+# ---------------------------------------------------------------------------
+# filter_funnel (pipeline attrition report)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_funnel_monotone_and_real_attrition(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = {r["stage_idx"]: r for r in C.filter_funnel(docs).collect()}
+    assert [rows[i]["stage"] for i in range(4)] == [
+        "input",
+        "length",
+        "quality",
+        "gopher_word",
+    ]
+    ns = [rows[i]["n_surviving"] for i in range(4)]
+    assert ns[0] == 500
+    assert ns == sorted(ns, reverse=True)  # cumulative stages only shrink
+    assert len(set(ns)) == 4  # every stage drops SOMETHING (non-degenerate)
