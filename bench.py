@@ -220,7 +220,11 @@ def _tiled_documents(spark, sf_dir: str, tile: int, repeat: int = 1):
     )
 
 
-def run_headline(results: dict, steals: dict | None = None) -> float:
+def run_headline(
+    results: dict,
+    steals: dict | None = None,
+    warm: dict | None = None,
+) -> float:
     from gpt4ocontentextraction_spark.driver_contract import (
         EXTRA_QUERIES,
         QUERIES,
@@ -251,6 +255,8 @@ def run_headline(results: dict, steals: dict | None = None) -> float:
     lookup = {**EXTRA_QUERIES, **QUERIES}
     if steals is None:
         steals = {}
+    if warm is None:
+        warm = {}
     for _ in range(3):  # calibrate the canary's best-ever floor
         _canary_sec()
 
@@ -307,6 +313,20 @@ def run_headline(results: dict, steals: dict | None = None) -> float:
         if st is not None:
             steals[name] = round(st, 1)
         total += dt
+        # WARM steady-state: one more timed run of the same query in the
+        # same session. The cold number above includes this query's
+        # one-time plan compilation / whole-stage-codegen JIT / Python
+        # worker spin-up; the warm number is what a sweep serving many
+        # requests pays per call. Recording both ends the recurring
+        # cold-vs-warm attribution hunts (hybrid_topk r4,
+        # embedding_neardup_lsh r5) — the spread IS the JIT cost.
+        try:
+            t0 = time.perf_counter()
+            _noop_write(lookup[name](spark, SF_DIR))
+            warm[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+        release_all()
         if name == "hybrid_topk":
             # ADVICE r4 shared-index form, measured alongside the honest
             # cold number (which alone counts toward the headline total):
@@ -1088,6 +1108,16 @@ def write_baseline_md(payload: dict) -> None:
         "added. cosine_topk's r4 0.68 s likewise re-measured ~0.50 s",
         "after the Arrow pair-UDF switch.",
         "",
+        "embedding_neardup_lsh cold-start attribution (r5): a quiet-window",
+        "headline run recorded 14.4 s @ 0.3% steal vs the prior clean",
+        "4.19 s. Isolated re-measure in the same window: 39.3 s on the",
+        "FIRST execution of a fresh session, 4.9-5.7 s steady-state on",
+        "repeat (three back-to-back runs, release_all() between) — the",
+        "same once-per-session plan-compile/Python-worker-spinup cost",
+        "attributed for hybrid_topk; no code in the query changed. The",
+        "headline table's warm column (added r5) now records the repeat",
+        "cost next to every cold number.",
+        "",
         "Tokenizer vectorization probe (r4 item 8, NEGATIVE result kept",
         "by design): pyarrow.compute.split_pattern + flatten +",
         "np.bincount-by-parent vs the per-row str.split/ws.count loop on",
@@ -1140,12 +1170,15 @@ def write_baseline_md(payload: dict) -> None:
         f"above {STEAL_GATE}% steal were re-measured, see STEAL_GATE in"
         " bench.py):",
         "",
-        "| query | sec | steal% |",
-        "| --- | --- | --- |",
+        "| query | cold sec | warm sec | steal% |",
+        "| --- | --- | --- | --- |",
     ]
     qsteal = payload.get("queries_steal_pct", {})
+    qwarm = payload.get("queries_warm", {})
     for k, v in payload["queries"].items():
-        lines.append(f"| {k} | {v} | {qsteal.get(k, '-')} |")
+        lines.append(
+            f"| {k} | {v} | {qwarm.get(k, '-')} | {qsteal.get(k, '-')} |"
+        )
     # Cross-run evidence: one run's windows are one host-weather sample;
     # the pooled clean pairs across every recorded run (RUNS.jsonl is
     # append-only) are the robust statement of the contract number.
@@ -1194,12 +1227,14 @@ def main() -> None:
             only = ""  # prior payload incomplete: do the full run
     queries: dict = {}
     qsteal: dict = {}
+    qwarm: dict = {}
     if only == "scaling":
         queries = dict(prev.get("queries", {}))
         qsteal = dict(prev.get("queries_steal_pct", {}))
+        qwarm = dict(prev.get("queries_warm", {}))
         total = float(prev.get("value", 0.0))
     else:
-        total = run_headline(queries, qsteal)
+        total = run_headline(queries, qsteal, qwarm)
     if only == "headline":
         scaling = prev["scaling"]
     else:
@@ -1216,6 +1251,10 @@ def main() -> None:
         # hypervisor steal% observed during each query's recorded
         # (cleanest-attempt) measurement window — see STEAL_GATE
         "queries_steal_pct": qsteal,
+        # repeat-run steady-state per query (same session, directly after
+        # the recorded cold attempt) — cold minus warm ~= one-time plan
+        # compile/JIT/worker-spinup cost
+        "queries_warm": qwarm,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction_docs_per_sec": scaling["docs_per_sec"],
         "scaling_efficiency": scaling["efficiency"],
