@@ -184,6 +184,7 @@ HEADLINE = (
     "quality_classifier",
     "line_repetition_stats",
     "filter_funnel",
+    "token_quantiles",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

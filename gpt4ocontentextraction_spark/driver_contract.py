@@ -1047,6 +1047,19 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+@register_extra("token_quantiles", textstats.TOKEN_QUANTILES_SQL)
+def q_token_quantiles(spark, sf_dir):
+    """Exact per-language token-count quantiles (0.5/0.9/0.99) — the
+    distribution report that calibrates length filters, packing
+    sequence length and truncation budgets. Interpolation-free
+    DISCRETE quantile (element at rank ceil(q*n), doc_id tie-break) so
+    both engines select the identical integer; one shuffle by lang,
+    row_number + rank equi-filter, no global sort. EXTRA
+    (local-parity) gate; rank-selection cases in
+    tests/test_curation.py."""
+    return textstats.token_quantiles(_docs(spark, sf_dir))
+
+
 @register("fingerprints", textstats.FINGERPRINTS_SQL)
 def q_fingerprints(spark, sf_dir):
     """Rolling-hash 8-gram document fingerprints."""

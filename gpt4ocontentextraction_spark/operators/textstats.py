@@ -195,3 +195,76 @@ SELECT doc_id, list_min(hs) AS fingerprint,
        CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_grams
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-language token-count quantiles (threshold calibration)
+# ---------------------------------------------------------------------------
+
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def token_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact per-language quantiles of the whitespace token count — the
+    distribution report that calibrates curation thresholds (length
+    filters, packing sequence length, truncation budgets).
+
+    Quantile definition is the interpolation-free DISCRETE one — the
+    element at 1-based rank ceil(q*n) in sorted order — because the two
+    engines' interpolated quantiles round differently in the last ulp;
+    an element-selection quantile is integer-exact on both. Returns
+    (lang, q, n_docs, q_tokens).
+
+    Scale shape: one shuffle by lang (the window partition), one
+    row_number pass, a rank equi-filter — no global sort, no collect.
+    Language cardinality is tiny, so at 100 TB the per-lang partitions
+    are the skew concern: calibration runs on a per-lang SAMPLE (the
+    quantile of a uniform sample converges at O(1/sqrt(m))), or switch
+    to approx_percentile and keep this exact form as its audit."""
+    from pyspark.sql import Window
+
+    # deterministic total order: break token-count ties by a stable
+    # per-row ordinal derived from doc_id so rank selection is unique
+    w = Window.partitionBy("lang").orderBy("t", "doc_ord")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("t"),
+        F.col("doc_id").cast("long").alias("doc_ord"),
+    )
+    ranked = base.select(
+        "lang",
+        "t",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in QUANTILE_QS])
+    ).alias("q")
+    picked = ranked.select("lang", "t", "rn", "n", qs).filter(
+        F.col("rn") == F.ceil(F.col("q") * F.col("n"))
+    )
+    return picked.select(
+        "lang",
+        F.col("q").cast("double").alias("q"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("t").alias("q_tokens"),
+    )
+
+
+TOKEN_QUANTILES_SQL = f"""
+WITH tq AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         CAST(doc_id AS BIGINT) AS doc_ord
+  FROM documents WHERE text IS NOT NULL
+),
+tr AS (
+  SELECT lang, t,
+         row_number() OVER (PARTITION BY lang ORDER BY t, doc_ord) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM tq
+)
+SELECT lang, CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n_docs,
+       t AS q_tokens
+FROM tr, unnest([{", ".join(str(q) for q in QUANTILE_QS)}]) AS u(q)
+WHERE rn = ceil(q * n)
+"""

@@ -367,3 +367,40 @@ def test_filter_funnel_monotone_and_real_attrition(spark):
     assert ns[0] == 500
     assert ns == sorted(ns, reverse=True)  # cumulative stages only shrink
     assert len(set(ns)) == 4  # every stage drops SOMETHING (non-degenerate)
+
+
+# ---------------------------------------------------------------------------
+# token_quantiles (discrete rank-selection quantiles per language)
+# ---------------------------------------------------------------------------
+
+
+def test_token_quantiles_rank_selection(spark):
+    from gpt4ocontentextraction_spark.operators import textstats
+
+    # lang 'en': token counts 1..10 -> q50 = rank ceil(0.5*10)=5 -> 5,
+    # q90 -> rank 9 -> 9, q99 -> rank 10 -> 10
+    rows = [(i, " ".join(["w"] * i), "en") for i in range(1, 11)]
+    rows += [(100, "a b c", "fr"), (101, None, "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["lang"], r["q"]): (r["n_docs"], r["q_tokens"])
+        for r in textstats.token_quantiles(df).collect()
+    }
+    assert got[("en", 0.5)] == (10, 5)
+    assert got[("en", 0.9)] == (10, 9)
+    assert got[("en", 0.99)] == (10, 10)
+    # single-doc language: every quantile is that doc; NULL text excluded
+    assert got[("fr", 0.5)] == (1, 3)
+    assert got[("fr", 0.99)] == (1, 3)
+
+
+def test_token_quantiles_tie_break_deterministic(spark):
+    from gpt4ocontentextraction_spark.operators import textstats
+
+    # all docs have the same token count: rank selection must still be
+    # unique and the value identical regardless of which row wins
+    rows = [(i, "x y z", "en") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textstats.token_quantiles(df).collect()
+    assert len(out) == 3
+    assert all(r["q_tokens"] == 3 and r["n_docs"] == 7 for r in out)
