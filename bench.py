@@ -173,6 +173,7 @@ HEADLINE = (
     "line_dedup",
     "line_dedup_hashed",
     "bloom_incremental_dedup",
+    "minhash_incremental",
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",

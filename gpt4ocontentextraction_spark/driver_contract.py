@@ -886,6 +886,22 @@ def q_top_ngrams(spark, sf_dir):
     return curation.top_ngrams(_docs(spark, sf_dir))
 
 
+@register_extra("minhash_incremental", dedup.MINHASH_INCREMENTAL_SQL)
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental NEAR-dup: the new batch (variant docs, +10^6 ids)
+    band-joins against the prior snapshot's precomputed signature
+    table — never prior x prior, never new x new; the corpus is not
+    re-encoded. Exact-Jaccard verify on the candidate sliver; oracle
+    is the uncapped exact all-pairs cross-side Jaccard, so the gate
+    proves recall=1 (556 pairs at sf0.001). EXTRA (local-parity) gate;
+    side-restriction + plan cases in tests/test_bloom_dedup.py."""
+    docs = _docs(spark, sf_dir)
+    corpus = dedup._variant_corpus(docs)
+    prior = corpus.filter(F.col("doc_id") < 1_000_000)
+    new = corpus.filter(F.col("doc_id") >= 1_000_000)
+    return dedup.minhash_incremental(new, prior)
+
+
 @register_extra(
     "bloom_incremental_dedup", dedup.BLOOM_INCREMENTAL_DEDUP_SQL
 )

@@ -1846,3 +1846,119 @@ WHERE d.text IS NOT NULL
     WHERE p.doc_id % 4 = 0 AND p.text IS NOT NULL AND p.text = d.text
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash near-dup (new batch vs prior snapshot)
+# ---------------------------------------------------------------------------
+#
+# The near-dup counterpart of bloom_incremental_dedup: a NEW crawl
+# batch is near-dup-checked against an already-ingested PRIOR corpus.
+# The prior's signature/band table is the artifact a real pipeline
+# writes ONCE at ingest (minhash_lsh_pairs' docstring calls it the
+# signature TABLE); an incremental run encodes only the new batch and
+# equality-joins its band keys against that table — never prior x prior
+# (already deduped), never new x new (a separate intra-batch pass if
+# wanted). At 10^12 prior docs the band table is bucketed by band_key
+# so the daily increment's join is storage-partitioned; the corpus is
+# never re-encoded and never re-banded.
+
+
+def _minhash_encode(docs: DataFrame):
+    """(bands, sh) relations for one side — the vectorized encoder,
+    track()-persisted exactly like minhash_lsh_pairs (both relations
+    read the encoding)."""
+    _, _, encode = _minhash_encode_udf()
+    enc = track(docs.select("doc_id", encode("text").alias("e")))
+    return (
+        enc.select("doc_id", F.explode(F.col("e.bands")).alias("band_key")),
+        enc.select("doc_id", F.col("e.sh").alias("sh")),
+    )
+
+
+def minhash_incremental(new_batch: DataFrame, prior: DataFrame) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and a prior snapshot:
+    band-key equality join across the two sides' band tables, exact
+    Jaccard verify on the candidate sliver, threshold
+    JACCARD_THRESHOLD. Returns (prior_id, new_id, jaccard).
+
+    Recall: identical banding to minhash_lsh_pairs, whose recall=1 vs
+    the uncapped exact all-pairs oracle is gate-proven; the cross-side
+    pairs here are a subset of that pair space, and the gate's oracle
+    is the exact all-pairs cross-side Jaccard — so the banding must
+    (and does) find every qualifying pair."""
+    bands_n, sh_n = _minhash_encode(
+        new_batch.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    bands_p, sh_p = _minhash_encode(
+        prior.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    cand = (
+        bands_p.alias("p")
+        .join(
+            bands_n.alias("n"),
+            F.col("p.band_key") == F.col("n.band_key"),
+        )
+        .select(
+            F.col("p.doc_id").alias("prior_id"),
+            F.col("n.doc_id").alias("new_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh_p.withColumnRenamed("doc_id", "prior_id").withColumnRenamed(
+                "sh", "sh_a"
+            ),
+            "prior_id",
+        )
+        .join(
+            sh_n.withColumnRenamed("doc_id", "new_id").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "new_id",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
+                ).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("prior_id", "new_id", "jaccard")
+    )
+    return verified
+
+
+# Gate oracle: exact all-pairs cross-side Jaccard over the variant
+# corpus split (prior = base ids, new = +10^6 variants) — banding
+# invisible to semantics, recall must be 1.
+MINHASH_INCREMENTAL_SQL = f"""
+WITH {DUCK_VARIANT_CORPUS.strip()},
+msh AS (
+  SELECT doc_id,
+         {duck_polyhash_over_array(_DUCK_SHINGLES)} AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM corpus)
+),
+mpairs AS (
+  SELECT p.doc_id AS prior_id, n.doc_id AS new_id, p.sh AS sh_a, n.sh AS sh_b
+  FROM msh p JOIN msh n
+    ON p.doc_id < 1000000 AND n.doc_id >= 1000000
+),
+mjac AS (
+  SELECT prior_id, new_id,
+    round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4)
+      AS jaccard
+  FROM mpairs
+)
+SELECT prior_id, new_id, jaccard FROM mjac
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""

@@ -73,3 +73,46 @@ def test_plan_candidate_sliver_feeds_join(spark):
     assert "EvalPython" not in plan
     # exactly one join in the whole plan — the candidate verification
     assert plan.count("LeftAnti") == 1
+
+
+# ---------------------------------------------------------------------------
+# minhash_incremental (near-dup: new batch vs prior snapshot)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_incremental_sides_only(spark):
+    """Pairs must span the two sides only — a near-dup pair WITHIN the
+    prior (or within the new batch) must not surface."""
+    prior = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # dup INSIDE prior
+            (3, "completely unrelated text about spark shuffles and joins"),
+        ],
+    )
+    new = _df(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "another unrelated document about bloom filters here"),
+        ],
+    )
+    got = dedup.minhash_incremental(new, prior).collect()
+    pairs = {(r["prior_id"], r["new_id"]) for r in got}
+    assert pairs == {(1, 100), (2, 100)}
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_minhash_incremental_no_self_join_sides(spark):
+    """Plan shape: exactly one band equality join between the two
+    sides, no cartesian/nested-loop anywhere."""
+    prior = _df(spark, [(1, "a b c d e f g h i j k l")])
+    new = _df(spark, [(2, "a b c d e f g h i j k l")])
+    plan = (
+        dedup.minhash_incremental(new, prior)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
