@@ -186,6 +186,7 @@ HEADLINE = (
     "line_repetition_stats",
     "filter_funnel",
     "token_quantiles",
+    "normalize_text",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

@@ -832,6 +832,18 @@ def q_pii_redact(spark, sf_dir):
     return curation.pii_redact(curation.seed_pii(_docs(spark, sf_dir)))
 
 
+@register_extra("normalize_text", curation.NORMALIZE_TEXT_SQL)
+def q_normalize_text(spark, sf_dir):
+    """CCNet/C4 text normalization: Unicode NFC composition (Arrow
+    batch; DuckDB nfc_normalize is the twin — both UAX #15), control
+    strip, whitespace collapse + trim, with changed/char accounting —
+    over a deterministically denormalized view (decomposed accents,
+    BEL, tabs, space runs; 2/3 of docs change, 1/3 must not). EXTRA
+    (local-parity) gate; composition/idempotence cases in
+    tests/test_curation.py."""
+    return curation.normalize_text(curation.seed_denorm(_docs(spark, sf_dir)))
+
+
 @register_extra("filter_funnel", curation.FILTER_FUNNEL_SQL)
 def q_filter_funnel(spark, sf_dir):
     """The curation attrition report (Dolma/RefinedWeb funnel): docs

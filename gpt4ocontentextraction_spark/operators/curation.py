@@ -1566,3 +1566,125 @@ FROM f_agg,
 
 
 FILTER_FUNNEL_SQL = _filter_funnel_sql()
+
+
+# ---------------------------------------------------------------------------
+# 14. Text normalization (NFC + control-strip + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+# Java-regex / RE2 intersection dialect (same contract as the PII
+# patterns): explicit byte-range classes, no shorthand that the two
+# engines expand differently.
+NORM_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+NORM_WS_RE = "[ \t]+"
+
+
+def seed_denorm(docs: DataFrame) -> DataFrame:
+    """Deterministic denormalized view for the normalization gate: the
+    synthetic corpus is pure ASCII with single spaces, so an unseeded
+    gate would prove nothing changed. doc_id % 3 == 0 appends a
+    DECOMPOSED accent ('cafe' + U+0301 — NFC must compose it to
+    U+00E9); doc_id % 3 == 1 injects a BEL control char, a tab and a
+    triple space; doc_id % 3 == 2 stays untouched (changed must
+    be 0)."""
+    did = F.col("doc_id").cast("long")
+    return docs.filter(F.col("text").isNotNull()).select(
+        did.alias("doc_id"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" went to the cafe" + chr(0x301))
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" noisy" + chr(7) + " bits" + chr(9) + "here   end"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _nfc_udf():
+    """Arrow-batched NFC normalization (Python unicodedata; DuckDB's
+    nfc_normalize is the oracle twin — both implement UAX #15, verified
+    identical on the seeded sequences). Spark has no built-in
+    normalizer; at 100 TB this stays an Arrow-batch step, or moves to
+    an ICU Normalizer2 call in a JVM UDF if the Python leg ever
+    dominates (it is ~50x cheaper than the extraction kernel)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts):
+        import unicodedata
+
+        return pd.Series(
+            [
+                None if t is None else unicodedata.normalize("NFC", t)
+                for t in texts.tolist()
+            ]
+        )
+
+    return nfc
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """CCNet/C4-style text normalization: Unicode NFC composition, then
+    control-character strip, then horizontal-whitespace collapse + trim.
+    Returns (doc_id, normalized, changed, n_chars_before, n_chars_after)
+    for every non-null-text document.
+
+    Scale shape: one Arrow-batch NFC pass + two JVM regexp projections
+    — no shuffle; composes with pii_redact/c4_filters into the same
+    single scan."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    nfc = _nfc_udf()(F.col("text"))
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc, NORM_CTRL_RE, ""), NORM_WS_RE, " "
+        )
+    )
+    return base.select(
+        "doc_id",
+        cleaned.alias("normalized"),
+        (cleaned != F.col("text")).cast("long").alias("changed"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(cleaned).cast("long").alias("n_chars_after"),
+    )
+
+
+def seed_denorm_cte(src: str = "documents", out: str = "ndocs") -> str:
+    """SQL twin of seed_denorm."""
+    return f"""{out} AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' went to the cafe' || chr(769)
+              WHEN doc_id % 3 = 1
+              THEN text || ' noisy' || chr(7) || ' bits' || chr(9)
+                        || 'here   end'
+              ELSE text END AS text
+  FROM {src} WHERE text IS NOT NULL
+)"""
+
+
+NORMALIZE_TEXT_SQL = f"""
+WITH {seed_denorm_cte()},
+nnorm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(text), '{NORM_CTRL_RE}', '', 'g'),
+           '{NORM_WS_RE}', ' ', 'g')) AS normalized
+  FROM ndocs
+)
+SELECT doc_id, normalized,
+       CAST(normalized <> text AS BIGINT) AS changed,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(normalized) AS BIGINT) AS n_chars_after
+FROM nnorm
+"""

@@ -404,3 +404,42 @@ def test_token_quantiles_tie_break_deterministic(spark):
     out = textstats.token_quantiles(df).collect()
     assert len(out) == 3
     assert all(r["q_tokens"] == 3 and r["n_docs"] == 7 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (NFC + control strip + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_rules(spark):
+    bel, tab, acute = chr(7), chr(9), chr(0x301)
+    rows = [
+        (1, "cafe" + acute + " time"),          # NFC composes
+        (2, "a" + bel + "b"),                    # control stripped
+        (3, "x" + tab + tab + "y   z"),          # whitespace collapsed
+        (4, "  padded  "),                       # trimmed
+        (5, "already clean"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.normalize_text(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["normalized"] == "caf" + chr(0xE9) + " time"
+    assert out[1]["changed"] == 1
+    assert out[1]["n_chars_after"] == out[1]["n_chars_before"] - 1
+    assert out[2]["normalized"] == "ab"
+    assert out[3]["normalized"] == "x y z"
+    assert out[4]["normalized"] == "padded"
+    assert out[5]["changed"] == 0
+    assert out[5]["normalized"] == "already clean"
+
+
+def test_normalize_text_idempotent(spark):
+    """Normalizing an already-normalized corpus changes nothing."""
+    rows = [(i, f"plain text {i} here") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = C.normalize_text(df).select(
+        "doc_id", F.col("normalized").alias("text")
+    )
+    twice = C.normalize_text(once).collect()
+    assert all(r["changed"] == 0 for r in twice)
