@@ -174,6 +174,7 @@ HEADLINE = (
     "line_dedup_hashed",
     "bloom_incremental_dedup",
     "minhash_incremental",
+    "ingest_dedup",
     "simhash_pairs_banded",
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",

@@ -898,6 +898,23 @@ def q_top_ngrams(spark, sf_dir):
     return curation.top_ngrams(_docs(spark, sf_dir))
 
 
+@register_extra("ingest_dedup", dedup.INGEST_DEDUP_SQL)
+def q_ingest_dedup(spark, sf_dir):
+    """The COMPOSED incremental-ingest decision: exact-dup flag
+    (bloom-prefiltered + exact verify) AND best near-dup assignment
+    (banded minhash candidates, highest-jaccard/min-id pick) per
+    new-batch document, one lazy plan. Seeded batch exercises all three
+    outcomes at sf0.001 — 75 exact, 572 near-dup'd, 100 kept (novel).
+    Proves the incremental family composes, the per-day crawl-ingest
+    shape. EXTRA (local-parity) gate; outcome cases in
+    tests/test_bloom_dedup.py."""
+    docs = _docs(spark, sf_dir)
+    prior = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    return dedup.ingest_dedup(dedup.ingest_new_batch(docs), prior)
+
+
 @register_extra("minhash_incremental", dedup.MINHASH_INCREMENTAL_SQL)
 def q_minhash_incremental(spark, sf_dir):
     """Incremental NEAR-dup: the new batch (variant docs, +10^6 ids)

@@ -1962,3 +1962,159 @@ mjac AS (
 SELECT prior_id, new_id, jaccard FROM mjac
 WHERE jaccard >= {JACCARD_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed incremental-ingest dedup decision (exact + near, one plan)
+# ---------------------------------------------------------------------------
+
+INGEST_EXACT_COPY_MOD = 7  # gate seed: doc_id % 7 == 0 re-ingested verbatim
+
+
+def ingest_new_batch(docs: DataFrame) -> DataFrame:
+    """Deterministic NEW-batch view for the composed ingest gate: the
+    near-dup variants (+10^6, last 2 words dropped) plus VERBATIM
+    re-ingestions of every doc_id % 7 == 0 document (+2*10^6) — so the
+    exact arm and the near arm both demonstrably fire, and the exact
+    copies also carry a jaccard-1.0 near match (both flags set on one
+    row, the composition the operator exists to express)."""
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    variants = _variant_corpus(docs).filter(
+        F.col("doc_id") >= 1_000_000
+    )
+    copies = base.filter(F.col("doc_id") % INGEST_EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    novel = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("freshcrawl item "),
+            F.col("doc_id").cast("string"),
+            F.lit(" body alpha beta gamma delta epsilon zeta"),
+        ).alias("text"),
+    )
+    return variants.unionByName(copies).unionByName(novel)
+
+
+def ingest_dedup(new_batch: DataFrame, prior: DataFrame) -> DataFrame:
+    """The incremental-ingest DECISION: for every new-batch document,
+    exact-dup and near-dup status against the prior snapshot in ONE
+    lazy plan —
+
+        is_exact_dup  text already in prior (bloom-prefiltered, exact
+                      verify — bloom_incremental_dedup's arms)
+        near_dup_of   best near-dup prior doc (minhash_incremental's
+                      banded candidates; highest jaccard, min prior_id
+                      at ties), NULL when none
+        jaccard       that pair's shingle Jaccard (NULL when none)
+        keep          1 iff neither flag fired
+
+    Returns (doc_id, is_exact_dup, near_dup_of, jaccard, keep). Proves
+    the incremental family COMPOSES — the per-day crawl ingest runs
+    exactly this: cheap exact kill first, near-dup decision on what
+    remains, one relational plan end-to-end."""
+    base = new_batch.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    bloom = bloom_build(prior)
+    cand = _bloom_might_contain(
+        bloom, F.col("text"), BLOOM_M_BITS, BLOOM_K
+    )
+    exact_ids = (
+        base.filter(cand)
+        .join(
+            prior.select("text").filter(F.col("text").isNotNull()).distinct(),
+            "text",
+            "left_semi",
+        )
+        .select("doc_id")
+        .withColumn("is_exact_dup", F.lit(1).cast("long"))
+    )
+    near = minhash_incremental(base, prior)
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.asc("prior_id")
+    )
+    best = (
+        near.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("prior_id").alias("near_dup_of"),
+            "jaccard",
+        )
+    )
+    out = (
+        base.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(best, "doc_id", "left")
+    )
+    is_exact = F.coalesce(F.col("is_exact_dup"), F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        is_exact.alias("is_exact_dup"),
+        "near_dup_of",
+        "jaccard",
+        (
+            (is_exact == 0) & F.col("near_dup_of").isNull()
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+INGEST_DEDUP_SQL = f"""
+WITH iprior AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  WHERE text IS NOT NULL
+),
+inew AS (
+  SELECT CAST(doc_id AS BIGINT) + 1000000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1 : greatest(len(string_split(text, ' ')) - 2, 1)],
+           ' ') AS text
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 2000000 AS doc_id, text
+  FROM documents
+  WHERE doc_id % {INGEST_EXACT_COPY_MOD} = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 3000000 AS doc_id,
+         'freshcrawl item ' || CAST(doc_id AS VARCHAR)
+           || ' body alpha beta gamma delta epsilon zeta' AS text
+  FROM documents
+  WHERE doc_id % 5 = 0 AND text IS NOT NULL
+),
+ish_p AS (
+  SELECT doc_id,
+         {duck_polyhash_over_array(_DUCK_SHINGLES)} AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM iprior)
+),
+ish_n AS (
+  SELECT doc_id,
+         {duck_polyhash_over_array(_DUCK_SHINGLES)} AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM inew)
+),
+ijac AS (
+  SELECT p.doc_id AS prior_id, n.doc_id AS new_id,
+    round(CAST(len(list_intersect(p.sh, n.sh)) AS DOUBLE)
+          / (len(p.sh) + len(n.sh) - len(list_intersect(p.sh, n.sh))), 4)
+      AS jaccard
+  FROM ish_p p CROSS JOIN ish_n n
+),
+ibest AS (
+  SELECT new_id AS doc_id, prior_id AS near_dup_of, jaccard
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY new_id ORDER BY jaccard DESC, prior_id ASC) AS rn
+    FROM ijac WHERE jaccard >= {JACCARD_THRESHOLD}
+  ) WHERE rn = 1
+)
+SELECT n.doc_id AS doc_id,
+       CAST(EXISTS (SELECT 1 FROM iprior p WHERE p.text = n.text)
+            AS BIGINT) AS is_exact_dup,
+       b.near_dup_of AS near_dup_of,
+       b.jaccard AS jaccard,
+       CAST(NOT EXISTS (SELECT 1 FROM iprior p WHERE p.text = n.text)
+            AND b.near_dup_of IS NULL AS BIGINT) AS keep
+FROM inew n LEFT JOIN ibest b USING (doc_id)
+"""

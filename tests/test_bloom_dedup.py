@@ -116,3 +116,48 @@ def test_minhash_incremental_no_self_join_sides(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ingest_dedup (composed exact + near incremental decision)
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_dedup_outcomes(spark):
+    prior = _df(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today fine"),
+            (2, "spark shuffles partition data across the cluster nodes"),
+        ],
+    )
+    new = _df(
+        spark,
+        [
+            # verbatim copy -> exact dup AND near dup of 1
+            (100, "the quick brown fox jumps over the lazy dog today fine"),
+            # last word changed -> near dup only
+            (101, "the quick brown fox jumps over the lazy dog today once"),
+            # novel -> keep
+            (102, "completely novel content about bloom filters and bands"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in dedup.ingest_dedup(new, prior).collect()}
+    assert got[100]["is_exact_dup"] == 1
+    assert got[100]["near_dup_of"] == 1 and got[100]["jaccard"] == 1.0
+    assert got[100]["keep"] == 0
+    assert got[101]["is_exact_dup"] == 0
+    assert got[101]["near_dup_of"] == 1 and 0 < got[101]["jaccard"] < 1
+    assert got[101]["keep"] == 0
+    assert got[102]["is_exact_dup"] == 0
+    assert got[102]["near_dup_of"] is None and got[102]["jaccard"] is None
+    assert got[102]["keep"] == 1
+
+
+def test_ingest_dedup_best_pick_deterministic(spark):
+    """Two equally-good prior matches: the min prior_id wins."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    prior = _df(spark, [(7, text), (3, text)])
+    new = _df(spark, [(100, text)])
+    got = dedup.ingest_dedup(new, prior).collect()[0]
+    assert got["near_dup_of"] == 3 and got["jaccard"] == 1.0
