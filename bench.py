@@ -183,6 +183,7 @@ HEADLINE = (
     "dsir_weights",
     "c4_filters",
     "top_ngrams",
+    "vocab_coverage",
     "quality_classifier",
     "line_repetition_stats",
     "filter_funnel",

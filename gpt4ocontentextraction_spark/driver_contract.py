@@ -886,6 +886,17 @@ def q_quality_classifier(spark, sf_dir):
     return curation.quality_classifier(_docs(spark, sf_dir))
 
 
+@register_extra("vocab_coverage", curation.VOCAB_COVERAGE_SQL)
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-corpus vocabulary report: top-k words with counts,
+    corpus frequency and CUMULATIVE coverage (how many types cover X%
+    of tokens). Map-side-combined count, TakeOrderedAndProject top-k,
+    cumulative window over the k-row result only (the corpus never
+    sees a global window); 1e-6 floors. EXTRA (local-parity) gate;
+    coverage-monotonicity case in tests/test_curation.py."""
+    return curation.vocab_coverage(_docs(spark, sf_dir))
+
+
 @register_extra("top_ngrams", curation.TOP_NGRAMS_SQL)
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide top-k frequent word n-grams with occurrence and

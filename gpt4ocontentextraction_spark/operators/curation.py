@@ -1688,3 +1688,71 @@ SELECT doc_id, normalized,
        CAST(length(normalized) AS BIGINT) AS n_chars_after
 FROM nnorm
 """
+
+
+# ---------------------------------------------------------------------------
+# 15. Vocabulary coverage (top-k words + cumulative corpus coverage)
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 50
+
+
+def vocab_coverage(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Tokenizer-corpus statistics: the k most frequent words with
+    occurrence counts, corpus frequency, and CUMULATIVE coverage — the
+    report that sizes a vocabulary (how many types cover 95% of
+    tokens) and sanity-checks a corpus before tokenizer training.
+
+    Returns (rank, word, cnt, frac, cum_frac), rank 1..k by
+    (count desc, word asc) — deterministic cut and order.
+
+    Scale shape: one map-side-combined word count, top-k via
+    TakeOrderedAndProject, then the cumulative window runs over the
+    k-row result only (a single tiny partition by construction — the
+    full corpus never sees a global window); the total-token count is
+    a 1-row broadcast. Fractions floor at 1e-6 (finer than _fl4: with
+    a 100-word corpus vocabulary single words hold >1% each, but real
+    corpora need the tail resolution)."""
+    base = docs.select("text").filter(F.col("text").isNotNull())
+    words = base.select(F.explode(F.split("text", " ")).alias("w"))
+    counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(k)
+    wr = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    fl6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(wr).cast("long").alias("rank"),
+            F.col("w").alias("word"),
+            F.col("cnt").cast("long").alias("cnt"),
+            fl6(F.col("cnt") / F.col("total")).alias("frac"),
+            fl6(
+                F.sum("cnt").over(
+                    wr.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("total")
+            ).alias("cum_frac"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH vwords AS (
+  SELECT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+vcounts AS (SELECT w, count(*) AS cnt FROM vwords GROUP BY w),
+vtotal AS (SELECT sum(cnt) AS total FROM vcounts),
+vtop AS (
+  SELECT w, cnt FROM vcounts ORDER BY cnt DESC, w ASC LIMIT {VOCAB_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT)
+         AS rank,
+       w AS word, CAST(cnt AS BIGINT) AS cnt,
+       floor(cnt::DOUBLE / total * 1000000) / 1000000 AS frac,
+       floor(sum(cnt) OVER (ORDER BY cnt DESC, w ASC
+                            ROWS UNBOUNDED PRECEDING)::DOUBLE
+             / total * 1000000) / 1000000 AS cum_frac
+FROM vtop CROSS JOIN vtotal
+"""

@@ -443,3 +443,30 @@ def test_normalize_text_idempotent(spark):
     )
     twice = C.normalize_text(once).collect()
     assert all(r["changed"] == 0 for r in twice)
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage (top-k words + cumulative corpus coverage)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_counts_and_cumulative(spark):
+    rows = [(1, "a a a b b c"), (2, "a b x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["rank"]: r for r in C.vocab_coverage(df, k=3).collect()}
+    # counts: a=4, b=3, c=1, x=1 -> top3 = a, b, c (tie c<x)
+    assert (out[1]["word"], out[1]["cnt"]) == ("a", 4)
+    assert (out[2]["word"], out[2]["cnt"]) == ("b", 3)
+    assert (out[3]["word"], out[3]["cnt"]) == ("c", 1)
+    assert out[1]["frac"] == 0.444444  # floor(4/9 * 1e6)/1e6
+    assert out[2]["cum_frac"] == 0.777777
+    # cumulative strictly increases and stays <= 1
+    cums = [out[i]["cum_frac"] for i in (1, 2, 3)]
+    assert cums == sorted(cums) and cums[-1] <= 1.0
+
+
+def test_vocab_coverage_full_vocab_reaches_one(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = C.vocab_coverage(docs).collect()
+    assert len(out) < C.VOCAB_K  # synthetic vocab smaller than k
+    assert max(r["cum_frac"] for r in out) == 1.0
