@@ -229,6 +229,7 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
     blobs subsample their synthetic payload to the new dimensions."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.bmp import encode_bmp, is_bmp
         from ..functions.png import encode_png, nearest_resize
 
         for pdf in batches:
@@ -237,10 +238,10 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
                 blob = bytes(blob)
                 if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
+                    px = nearest_resize(dec["pixels"], new_width, new_height)
+                    # keep the source container: BMP stays BMP, else PNG
                     out.append(
-                        encode_png(
-                            nearest_resize(dec["pixels"], new_width, new_height)
-                        )
+                        encode_bmp(px) if is_bmp(blob) else encode_png(px)
                     )
                     continue
                 payload = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_SIZE)
@@ -303,6 +304,7 @@ def _decode_real(blob: bytes) -> dict:
     libraries this container lacks and still raise NotImplementedError —
     callers must ROUTE the returned dict when decode succeeds, not
     assume this raises (the r3 ADVICE fall-through)."""
+    from ..functions.bmp import decode_bmp, is_bmp
     from ..functions.png import decode_png, is_png
 
     if is_png(blob):
@@ -316,9 +318,20 @@ def _decode_real(blob: bytes) -> dict:
             "n_frames": 1,
             "pixels": px,
         }
+    if is_bmp(blob):
+        px = decode_bmp(blob)
+        h, w, _c = px.shape
+        return {
+            "kind": "image",
+            "mime": "image/bmp",
+            "width": int(w),
+            "height": int(h),
+            "n_frames": 1,
+            "pixels": px,
+        }
     raise NotImplementedError(
-        "only PNG real-codec decode is implemented (stdlib zlib); JPEG/"
-        "audio/video need PIL/libav, not present in this environment"
+        "only PNG and BMP real-codec decode is implemented (stdlib); "
+        "JPEG/audio/video need PIL/libav, not present in this environment"
     )
 
 

@@ -244,3 +244,72 @@ def test_ingest_media_dir_round_trip(spark, tmp_path):
         f = feats[ref]
         assert f["payload_len"] == blen - 12  # header is 4s+i+i
         assert f["n_frames"] == frames
+
+
+def test_bmp_codec_roundtrip_and_header_variants():
+    import struct
+
+    import numpy as np
+
+    from gpt4ocontentextraction_spark.functions.bmp import (
+        decode_bmp,
+        encode_bmp,
+        is_bmp,
+    )
+
+    rng = np.random.RandomState(11)
+    # widths 1-5 exercise every 4-byte row-padding remainder
+    for w in range(1, 6):
+        px = rng.randint(0, 256, (3, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert is_bmp(blob)
+        assert np.array_equal(decode_bmp(blob), px)
+    # top-down files (negative height) decode to the same pixels
+    px = rng.randint(0, 256, (4, 3, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px[::-1]))
+    struct.pack_into("<i", blob, 22, -4)
+    # encode stores bottom-up; re-marking the header top-down makes the
+    # decoder read file order directly, i.e. the vertical flip
+    assert np.array_equal(decode_bmp(bytes(blob)), px)
+    # unsupported features raise with the feature named
+    rle = bytearray(encode_bmp(px))
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+
+
+def test_bmp_real_decode_through_ingest_resize_features(spark, tmp_path):
+    """BMP joins PNG as a REAL codec end-to-end: directory scan types
+    the rows image/bmp, features run over decoded pixels, and resize
+    re-encodes a decodable BMP of the new dimensions (source container
+    preserved)."""
+    import os
+
+    import numpy as np
+
+    from gpt4ocontentextraction_spark.functions.bmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from gpt4ocontentextraction_spark.functions.png import nearest_resize
+
+    d = tmp_path / "bmp_media"
+    os.makedirs(d)
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (10, 24, 3), dtype=np.uint8)
+    (d / "pic.bmp").write_bytes(encode_bmp(px))
+
+    media = mm.ingest_media_dir(spark, str(d))
+    r = media.collect()[0]
+    assert (r["media_kind"], r["mime"]) == ("image", "image/bmp")
+    assert (r["width"], r["height"], r["n_frames"]) == (24, 10, 1)
+
+    f = mm.decode_features(media).collect()[0]
+    assert f["payload_len"] == px.size
+    assert f["checksum"] == int(px.astype(np.int64).sum())
+
+    out = mm.resize(media, 8, 6).collect()[0]
+    got = decode_bmp(bytes(out["data"]))
+    assert np.array_equal(got, nearest_resize(px, 8, 6))
