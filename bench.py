@@ -189,6 +189,8 @@ HEADLINE = (
     "filter_funnel",
     "token_quantiles",
     "normalize_text",
+    "token_budget_mix",
+    "pretraining_mix",
     "cosine_topk",
     "bm25_topk",
     "hybrid_topk",

@@ -1533,6 +1533,34 @@ def q_dsir_weights(spark, sf_dir):
     return curation.dsir_weights(_docs(spark, sf_dir))
 
 
+@register_extra("token_budget_mix", curation.TOKEN_BUDGET_MIX_SQL)
+def q_token_budget_mix(spark, sf_dir):
+    """Training-mix construction by TOKEN budget (the DoReMi/Dolma
+    domain-mixing step; quota_sample is the count-based sibling): per
+    language stratum, keep docs in deterministic hash order until the
+    stratum has contributed TOKEN_BUDGET tokens. Scale device: a
+    (lang, sample-key-bucket) token histogram prunes every bucket past
+    the budget cutoff BEFORE the exact per-stratum window — the window
+    only ever sees ~the mix itself. Oracle is the flat one-window spec.
+    EXTRA (local-parity) gate; branch + pruning cases in
+    tests/test_curation.py."""
+    return curation.token_budget_mix(_docs(spark, sf_dir))
+
+
+@register_extra("pretraining_mix", curation.PRETRAINING_MIX_SQL)
+def q_pretraining_mix(spark, sf_dir):
+    """The pretraining data-prep CAPSTONE, raw corpus -> training
+    sequences as one lazy plan: filter_funnel's keep decision (Gopher
+    length AND model quality AND word-repetition) -> exact-dedup keeper
+    (min doc_id per normalization key) -> GPT-style sequence packing of
+    the survivors (two-phase block cumsum). Real attrition at sf0.001:
+    500 -> 249 filtered -> 209 packed keepers. Proves the filter,
+    dedup, and packing families compose into the actual data product,
+    not just that each gates alone. EXTRA (local-parity) gate; stage
+    cases in tests/test_curation.py."""
+    return curation.pretraining_mix(_docs(spark, sf_dir))
+
+
 @register("simhash_fingerprints_variants", dedup.SIMHASH_FP_VARIANTS_SQL)
 def q_simhash_fp_variants(spark, sf_dir):
     """SimHash fingerprints, 32- and 64-bit forms in one gate (bit-exact

@@ -447,8 +447,15 @@ def pack_sequences(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
     toks = _docs_base(docs).select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.expr(f"doc_id DIV {PACK_BLOCK} AS block"),
     )
+    return _pack_over(toks, seq_len)
+
+
+def _pack_over(toks: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """Pack core over any (doc_id, n_tokens) relation — shared by
+    pack_sequences (whole corpus) and pretraining_mix (the filtered +
+    deduplicated survivor set)."""
+    toks = toks.withColumn("block", F.expr(f"doc_id DIV {PACK_BLOCK}"))
     btot = toks.groupBy("block").agg(F.sum("n_tokens").alias("bt"))
     wb = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
     boff = btot.select(
@@ -1755,4 +1762,206 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT)
                             ROWS UNBOUNDED PRECEDING)::DOUBLE
              / total * 1000000) / 1000000 AS cum_frac
 FROM vtop CROSS JOIN vtotal
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. Token-budget stratified mixing (domain-mix construction)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 4000  # tokens kept per language stratum
+MIX_BUCKETS = 1024  # sample-key histogram resolution (scale device)
+_MIX_BUCKET_W = _QH_MOD // MIX_BUCKETS + 1
+
+
+def token_budget_mix(
+    docs: DataFrame, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Training-mix construction by TOKEN budget (the DoReMi/Dolma
+    domain-mixing step): per language stratum, walk documents in
+    deterministic hash order and keep them until the stratum has
+    contributed `budget` tokens — the doc that crosses the budget is
+    kept, everything after it is dropped. quota_sample is the
+    count-based sibling; real mixes are specified in tokens.
+
+    Keep rule (both engines): cum_tokens - n_tokens < budget, where
+    cum_tokens is the running token sum in (sample_key, doc_id) order
+    within the stratum. A stratum whose total is under budget is kept
+    whole.
+
+    Scale shape: a per-stratum window over 10^12 rows would sort each
+    language's full partition. Instead the sample-key space is cut into
+    MIX_BUCKETS histogram buckets: (1) one partial-agg (lang, bucket)
+    token-sum pass, (2) a driver-side prefix over the collected
+    histogram (bounded: n_lang x MIX_BUCKETS rows) finds each stratum's
+    cutoff bucket — the first whose prefix total reaches the budget,
+    (3) only rows in buckets <= cutoff survive to the exact window
+    (~budget-sized survivor sets, the mix itself), buckets past the
+    cutoff are filtered BEFORE any sort. The exact window re-applies
+    the keep rule so the histogram is purely a pruning device — the
+    flat one-window spec is the oracle. Same two-phase design as
+    quota_sample's threshold and pack_sequences' block cumsum."""
+    base = _docs_base(docs).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        _sample_key().alias("sample_key"),
+    )
+    hist = (
+        base.groupBy("lang", (F.col("sample_key") / _MIX_BUCKET_W)
+                    .cast("long").alias("bucket"))
+        .agg(F.sum("n_tokens").alias("bt"))
+        .collect()
+    )
+    per_lang: dict = {}
+    for r in hist:
+        per_lang.setdefault(r["lang"], []).append((r["bucket"], r["bt"]))
+    cutoffs = []
+    for lang, buckets in per_lang.items():
+        run, cut = 0, MIX_BUCKETS  # keep-all when total never reaches budget
+        for b, bt in sorted(buckets):
+            run += bt
+            if run >= budget:
+                cut = b
+                break
+        cutoffs.append((lang, cut))
+    cut_df = base.sparkSession.createDataFrame(
+        sorted(cutoffs, key=lambda kv: (kv[0] is None, kv[0] or "")),
+        "lang string, cut long",
+    )
+    survivors = (
+        base.join(F.broadcast(cut_df), base["lang"].eqNullSafe(cut_df["lang"]))
+        .where((F.col("sample_key") / _MIX_BUCKET_W).cast("long")
+               <= F.col("cut"))
+        .select(base["doc_id"], base["lang"], "n_tokens", "sample_key")
+    )
+    wm = (
+        Window.partitionBy("lang")
+        .orderBy("sample_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        survivors.withColumn("cum_tokens", F.sum("n_tokens").over(wm))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select("doc_id", "lang", "n_tokens", "sample_key", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH tbm AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ((CAST(doc_id AS BIGINT) % {_QH_MOD}) * {_QH_A} + {_QH_B})
+           % {_QH_MOD} AS sample_key
+  FROM documents
+),
+tbc AS (
+  SELECT doc_id, lang, n_tokens, sample_key,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY sample_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM tbm
+)
+SELECT doc_id, lang, n_tokens, sample_key, cum_tokens
+FROM tbc WHERE cum_tokens - n_tokens < {TOKEN_BUDGET}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. Pretraining-mix capstone: filters -> exact dedup -> sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pretraining_mix(docs: DataFrame) -> DataFrame:
+    """Raw corpus -> training sequences, ONE lazy relational plan — the
+    end-to-end pretraining data-prep composition every LLM pipeline
+    runs: (1) the filter_funnel keep decision (Gopher doc-length AND
+    model-based quality AND Gopher word-repetition), (2) exact-dedup
+    keeper selection over the survivors (min doc_id per normalization
+    key, the exact_dedup family's key), (3) GPT-style sequence packing
+    of the deduplicated keepers (pack_sequences' two-phase block
+    cumsum). Returns the pack relation (doc_id, n_tokens, start_offset,
+    first_seq, last_seq, n_seqs) over exactly the surviving keepers.
+
+    Every stage shows real attrition at sf0.001 (500 -> 249 filtered
+    -> 209 after dedup) and the packing runs over the survivor set, not
+    the corpus — the composition statement filter_funnel makes for
+    counting, made for the actual data product.
+
+    Scale shape: the member operators' own exchange profiles (two
+    Arrow keep scans joined on doc_id, one hash agg for the keeper,
+    block-hierarchical cumsum for packing); no new shuffle classes.
+    The keeper groupBy is the only corpus-keyed exchange and is
+    map-side combined."""
+    rep = repetition_stats(docs).select(
+        "doc_id", "n_words", F.col("keep").alias("rep_keep")
+    )
+    q = quality_classifier(docs).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    kept = (
+        rep.join(q, "doc_id")
+        .where(
+            (F.col("n_words") >= FUNNEL_MIN_WORDS)
+            & (F.col("q_keep") == 1)
+            & (F.col("rep_keep") == 1)
+        )
+        .select("doc_id")
+    )
+    survivors = (
+        _docs_base(docs).select("doc_id", "text").join(kept, "doc_id")
+    )
+    keeper = (
+        survivors.select(
+            "doc_id",
+            F.expr("concat_ws(' ', slice(split(text, ' '), 1, 2))").alias(
+                "dup_key"
+            ),
+        )
+        .groupBy("dup_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = survivors.join(keeper, "doc_id").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return _pack_over(toks)
+
+
+PRETRAINING_MIX_SQL = f"""
+WITH pm_rep AS ({REPETITION_STATS_SQL}),
+pm_q AS ({QUALITY_CLASSIFIER_SQL}),
+pm_kept AS (
+  SELECT r.doc_id FROM pm_rep r JOIN pm_q q USING (doc_id)
+  WHERE r.n_words >= {FUNNEL_MIN_WORDS} AND r.keep = 1 AND q.keep = 1
+),
+pm_docs AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text
+  FROM documents d JOIN pm_kept k ON CAST(d.doc_id AS BIGINT) = k.doc_id
+),
+pm_keeper AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (
+    SELECT doc_id,
+           array_to_string((string_split(text, ' '))[1:2], ' ') AS dup_key
+    FROM pm_docs
+  ) GROUP BY dup_key
+),
+pm_toks AS (
+  SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM pm_docs d JOIN pm_keeper k USING (doc_id)
+),
+pm_off AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM pm_toks
+)
+SELECT doc_id, n_tokens, start_offset,
+  start_offset // {PACK_SEQ_LEN} AS first_seq,
+  (start_offset + n_tokens - 1) // {PACK_SEQ_LEN} AS last_seq,
+  (start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+    - start_offset // {PACK_SEQ_LEN} + 1 AS n_seqs
+FROM pm_off
 """

@@ -470,3 +470,102 @@ def test_vocab_coverage_full_vocab_reaches_one(spark):
     out = C.vocab_coverage(docs).collect()
     assert len(out) < C.VOCAB_K  # synthetic vocab smaller than k
     assert max(r["cum_frac"] for r in out) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix (token-budget stratified domain mixing)
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_mix_budget_rule(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = C.token_budget_mix(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"de", "en", "es", "fr", "zh"}
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r["sample_key"], r["doc_id"]))
+        # cumulative column is the running sum in hash order
+        run = 0
+        for r in rows:
+            # kept <=> the stratum had not yet reached the budget
+            assert run < C.TOKEN_BUDGET
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+        # the selection stops AT the crossing doc: either the budget was
+        # reached, or the stratum ran out of docs entirely
+        n_lang = (
+            docs.where(F.col("lang") == lang).count()
+        )
+        assert run >= C.TOKEN_BUDGET or len(rows) == n_lang
+
+
+def test_token_budget_mix_keep_all_when_under_budget(spark):
+    # one stratum whose total token count never reaches the budget:
+    # the whole stratum is kept (the histogram finds no cutoff bucket)
+    rows = [(i, "w " * 5, "xx") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = C.token_budget_mix(df).collect()
+    assert len(out) == 10
+
+
+def test_token_budget_mix_histogram_prunes_before_window(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(C.token_budget_mix(docs))
+    # the bucket-cutoff filter must precede the exact cumsum window so
+    # the sort only ever sees ~the mix, never a full stratum
+    assert plan.index("Filter") < plan.index("Window")
+    # and the cutoff relation arrives broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# pretraining_mix (filters -> exact dedup -> packing, one plan)
+# ---------------------------------------------------------------------------
+
+
+def test_pretraining_mix_stage_attrition(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sorted(
+        C.pretraining_mix(docs).collect(), key=lambda r: r["doc_id"]
+    )
+    # real attrition through both stages: filters drop docs, dedup drops
+    # more (exact counts pinned so a silent semantics change is loud)
+    assert len(out) == 209
+    # packing is a contiguous prefix sum over the SURVIVORS in doc_id
+    # order — same invariant as pack_sequences but on the filtered set
+    offset = 0
+    for r in out:
+        assert r["start_offset"] == offset
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        offset += r["n_tokens"]
+
+
+def test_pretraining_mix_is_subset_of_funnel_survivors(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mix_ids = {
+        r["doc_id"] for r in C.pretraining_mix(docs).collect()
+    }
+    funnel = {
+        r["stage"]: r["n_surviving"]
+        for r in C.filter_funnel(docs).collect()
+    }
+    # dedup can only shrink the funnel's final survivor set
+    assert len(mix_ids) <= funnel["gopher_word"]
+    # and every packed doc passed the filters: recompute the keep set
+    rep = C.repetition_stats(docs).select("doc_id", "n_words", "keep")
+    q = C.quality_classifier(docs).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    kept = {
+        r["doc_id"]
+        for r in rep.join(q, "doc_id")
+        .where(
+            (F.col("n_words") >= C.FUNNEL_MIN_WORDS)
+            & (F.col("keep") == 1)
+            & (F.col("q_keep") == 1)
+        )
+        .collect()
+    }
+    assert mix_ids <= kept
