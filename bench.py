@@ -191,7 +191,11 @@ HEADLINE = (
     "normalize_text",
     "token_budget_mix",
     "pretraining_mix",
+    "compaction_bins",
+    "snapshot_diff",
     "cosine_topk",
+    "quantized_cosine_topk",
+    "quantized_rerank_topk",
     "bm25_topk",
     "hybrid_topk",
 )

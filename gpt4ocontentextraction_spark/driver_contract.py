@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 
 from . import oracles
 from .functions import markers as mk
-from .operators import curation, dedup, embed, retrieval, textstats
+from .operators import (
+    curation,
+    dedup,
+    embed,
+    maintenance,
+    quantize,
+    retrieval,
+    textstats,
+)
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators.merge import merge_markdown
@@ -1533,6 +1541,41 @@ def q_dsir_weights(spark, sf_dir):
     return curation.dsir_weights(_docs(spark, sf_dir))
 
 
+@register_extra("embedding_quantize", quantize.EMBEDDING_QUANTIZE_SQL)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (FAISS-SQ8 shape): per-
+    vector scale, quantized int array, exact integer squared norm, and
+    the worst reconstruction error (<= scale/2, test-pinned). One
+    projection, zero shuffles; every float op is one IEEE double op and
+    every fold is an integer sum or max, so both engines agree exactly.
+    EXTRA (local-parity) gate; bound + roundtrip cases in
+    tests/test_quantize.py."""
+    return quantize.embedding_quantize(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+@register_extra("quantized_cosine_topk", quantize.QUANTIZED_COSINE_TOPK_SQL)
+def q_quantized_cosine_topk(spark, sf_dir):
+    """Top-k by QUANTIZED cosine — the compressed-index scan: int8 dot
+    and norms as exact integer sums (fold-order-free), one double divide
+    at the end; the query parameter is quantized driver-side with
+    identical arithmetic. EXTRA (local-parity) gate; recall-vs-exact
+    case in tests/test_quantize.py."""
+    return quantize.quantized_cosine_topk(spark, sf_dir)
+
+
+@register_extra("quantized_rerank_topk", quantize.QUANTIZED_RERANK_TOPK_SQL)
+def q_quantized_rerank_topk(spark, sf_dir):
+    """The production ANN serving shape (FAISS SQ8 / ScaNN): the int8
+    index prefilters to 50 candidates by quantized cosine, an exact
+    double cosine re-ranks candidates ONLY — full-precision vectors are
+    touched for 50 rows however large the corpus. Both cut boundaries
+    round-6 before their limits. EXTRA (local-parity) gate;
+    recall-restoration case in tests/test_quantize.py."""
+    return quantize.quantized_rerank_topk(spark, sf_dir)
+
+
 @register_extra("token_budget_mix", curation.TOKEN_BUDGET_MIX_SQL)
 def q_token_budget_mix(spark, sf_dir):
     """Training-mix construction by TOKEN budget (the DoReMi/Dolma
@@ -1559,6 +1602,39 @@ def q_pretraining_mix(spark, sf_dir):
     not just that each gates alone. EXTRA (local-parity) gate; stage
     cases in tests/test_curation.py."""
     return curation.pretraining_mix(_docs(spark, sf_dir))
+
+
+@register_extra("compaction_bins", maintenance.COMPACTION_BINS_SQL)
+def q_compaction_bins(spark, sf_dir):
+    """Bin-packing compaction plan (Iceberg rewrite_data_files shape):
+    each partition's files packed into contiguous target-size rewrite
+    bins via a start-offset window + integer division — one bounded
+    per-partition window, no driver loop. Integer arithmetic only, so
+    both engines agree exactly. EXTRA (local-parity) gate; packing +
+    determinism cases in tests/test_maintenance.py."""
+    return maintenance.compaction_bins(_docs(spark, sf_dir))
+
+
+@register_extra("snapshot_diff", maintenance.SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark, sf_dir):
+    """CDC change set between two deterministic versions of the
+    documents table (insert/update/delete per doc_id, null-safe text
+    compare) — the incremental-re-extraction driver at 10^12 docs. One
+    full-outer join on the snapshot key; all three change classes
+    assert on real rows. EXTRA (local-parity) gate; class-coverage
+    cases in tests/test_maintenance.py."""
+    return maintenance.snapshot_diff(_docs(spark, sf_dir))
+
+
+@register_extra(
+    "incremental_extract_ids", maintenance.INCREMENTAL_EXTRACT_IDS_SQL
+)
+def q_incremental_extract_ids(spark, sf_dir):
+    """The change set reduced to the re-extraction work list (inserts +
+    updates; deletes retire derived rows instead) — the id relation the
+    10^12-doc pipeline semi-joins against document bytes so only changed
+    documents re-enter extraction. EXTRA (local-parity) gate."""
+    return maintenance.incremental_extract_ids(_docs(spark, sf_dir))
 
 
 @register("simhash_fingerprints_variants", dedup.SIMHASH_FP_VARIANTS_SQL)
