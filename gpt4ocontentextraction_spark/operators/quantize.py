@@ -143,29 +143,65 @@ FROM embeddings
 """
 
 
+def _qcos_udf(q_ints: list[int]):
+    """Arrow-vectorized quantized cosine against the quantized query
+    literal. Arithmetic-identical to the expression spec (which the
+    `embedding_quantize` gate proves against DuckDB) because every float
+    step is the same elementwise IEEE double op (abs/max, divide,
+    +0.5, floor, clamp) and the dot/norm folds are INTEGER sums — order
+    -independent, so numpy's matmul cannot drift where the float cosine
+    fold could. The interpreted-HOF expression form re-evaluated the
+    scale aggregate per reference per element (measured 3.8 s vs exact
+    cosine's 0.4 s at sf0.1); this kernel is the production path, the
+    expression stays as the cross-engine spec."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qarr = np.asarray([int(v) for v in q_ints], dtype=np.int64)
+    qn = int((qarr * qarr).sum())
+    dim = len(q_ints)
+
+    @pandas_udf("double")
+    def qcos(embs):
+        vals = embs.tolist()
+        ok = [v is not None and len(v) == dim for v in vals]
+        out = [None] * len(vals)
+        if qn != 0 and any(ok):
+            M = np.array(
+                [vals[i] for i, g in enumerate(ok) if g], dtype=np.float64
+            )
+            ma = np.abs(M).max(axis=1)
+            scale = np.where(ma == 0.0, 1.0, ma / float(QUANT_MAX))
+            Q = np.floor(M / scale[:, None] + 0.5)
+            np.clip(Q, -float(QUANT_MAX), float(QUANT_MAX), out=Q)
+            Q = Q.astype(np.int64)
+            idot = Q @ qarr  # exact: |q| <= 127, dim bounded
+            inorm2 = np.einsum("ij,ij->i", Q, Q)
+            sims = np.divide(
+                idot.astype(np.float64),
+                np.sqrt(inorm2.astype(np.float64)) * math.sqrt(float(qn)),
+                out=np.full(len(idot), np.nan),
+                where=inorm2 != 0,
+            )
+            j = 0
+            for i, g in enumerate(ok):
+                if g:
+                    out[i] = None if inorm2[j] == 0 else float(sims[j])
+                    j += 1
+        return pd.Series(out, dtype="object")
+
+    return qcos
+
+
 def _quantized_scores(emb: DataFrame, q_ints: list[int]) -> DataFrame:
     """(vec_id, qcos): integer dot of the quantized corpus against the
     quantized query literal over integer norms — scales cancel in the
-    cosine, so qcos needs no float state per vector at all."""
-    qlit = "array(" + ", ".join(str(int(v)) for v in q_ints) + ")"
-    scale = _q_scale(_VD)
-    qv = _q_vec(_VD, scale)
-    idot = (
-        f"aggregate(zip_with({qv}, {qlit},"
-        f" (a, b) -> cast(a as bigint) * cast(b as bigint)),"
-        f" 0L, (p, q) -> p + q)"
-    )
-    inorm = _Q_INORM2.format(q=qv)
-    qn = sum(int(v) * int(v) for v in q_ints)
-    cos = (
-        f"CASE WHEN {inorm} = 0L OR {qn}L = 0L THEN NULL ELSE"
-        f" cast({idot} as double)"
-        f" / (sqrt(cast({inorm} as double)) * sqrt(cast({qn} as double)))"
-        f" END"
-    )
+    cosine, so qcos needs no float state per vector at all. One Arrow
+    batch pass over the compressed-scan projection; zero shuffles."""
     return emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.round(F.expr(cos), 6).alias("qcos"),
+        F.round(_qcos_udf(q_ints)("embedding"), 6).alias("qcos"),
     )
 
 
