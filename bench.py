@@ -193,6 +193,8 @@ HEADLINE = (
     "pretraining_mix",
     "compaction_bins",
     "snapshot_diff",
+    "ccnet_buckets",
+    "winnow_pairs",
     "cosine_topk",
     "quantized_cosine_topk",
     "quantized_rerank_topk",

@@ -1604,6 +1604,42 @@ def q_pretraining_mix(spark, sf_dir):
     return curation.pretraining_mix(_docs(spark, sf_dir))
 
 
+@register_extra("ccnet_buckets", curation.CCNET_BUCKETS_SQL)
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet (Wenzek et al. 2019) per-language head/middle/tail
+    perplexity split over unigram_logprob's LM score — head = lowest
+    -perplexity third, the slice LLaMA-style pipelines keep. Tercile
+    cutoffs come from a bounded (lang, avg_nll) HISTOGRAM (avg_nll is
+    floored at 1e-4, so bins are corpus-size-independent) via the
+    integer predicate 3*cum >= N — no per-language sort of the document
+    stream, windows only over the histogram (plan-pinned). EXTRA
+    (local-parity) gate; hand-cutoff cases in tests/test_ccnet.py."""
+    return curation.ccnet_buckets(_docs(spark, sf_dir))
+
+
+@register_extra("winnow_fingerprints", textstats.WINNOW_FINGERPRINTS_SQL)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    scheme): per window of 4 consecutive char-8-gram polyhashes, the
+    minimum (rightmost on ties) — distinct (pos, fp) pairs per doc, with
+    the coverage guarantee that any shared substring of length >= 11
+    surfaces a shared fingerprint. Entirely one JVM projection (zero
+    shuffles, plan-pinned). EXTRA (local-parity) gate; reference
+    -implementation equality in tests/test_winnow.py."""
+    return textstats.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+@register_extra("winnow_pairs", textstats.WINNOW_PAIRS_SQL)
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS-style overlap candidate pairs: docs sharing >= 10 distinct
+    winnowed fingerprints after dropping fingerprints present in > 20
+    docs (discriminativeness + bounded join fanout: each surviving
+    fingerprint caps at DF_CAP^2/2 pairs). Ids-only equality join.
+    EXTRA (local-parity) gate; df-cap + threshold cases in
+    tests/test_winnow.py."""
+    return textstats.winnow_overlap_pairs(_docs(spark, sf_dir))
+
+
 @register_extra("compaction_bins", maintenance.COMPACTION_BINS_SQL)
 def q_compaction_bins(spark, sf_dir):
     """Bin-packing compaction plan (Iceberg rewrite_data_files shape):

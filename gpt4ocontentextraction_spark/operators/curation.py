@@ -582,6 +582,97 @@ FROM uagg
 
 
 # ---------------------------------------------------------------------------
+# 5b. CCNet head/middle/tail perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's (Wenzek et al. 2019) per-language perplexity split: every
+    scored document labeled ``head`` / ``middle`` / ``tail`` by which
+    third of its LANGUAGE's avg-NLL distribution it falls in (head =
+    lowest perplexity = kept for pretraining; LLaMA-1 trained on
+    head+middle). Composes unigram_logprob as the LM score.
+
+    Cutoffs come from a bounded HISTOGRAM, not a per-language sort:
+    avg_nll is already floored at 1e-4, so group by (lang, avg_nll) is
+    at most ~1e5 bins per language however many documents exist; the
+    tercile thresholds t1/t2 are the smallest bins whose cumulative
+    count reaches ceil(N/3) / ceil(2N/3) (integer predicate 3*cum >= N,
+    no division), and the per-language cutoff relation broadcasts back.
+    Scale shape: one doc_id join, one bounded histogram aggregate, two
+    windows OVER THE HISTOGRAM (never over documents), one broadcast
+    join — the document stream is never globally sorted. Documents with
+    NULL text produce no tokens and are absent, as in unigram_logprob.
+    """
+    base = _docs_base(docs)
+    scored = unigram_logprob(docs).select("doc_id", "avg_nll", "ppl").join(
+        base.select("doc_id", "lang"), "doc_id"
+    )
+    hist = scored.groupBy("lang", "avg_nll").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("avg_nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "avg_nll",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(3 * F.col("cum") >= F.col("n"), F.col("avg_nll"))
+        ).alias("t1"),
+        F.min(
+            F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("avg_nll"))
+        ).alias("t2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        "ppl",
+        F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH nllq AS ({UNIGRAM_LOGPROB_SQL.strip()}),
+cscored AS (
+  SELECT n.doc_id, d.lang, n.avg_nll, n.ppl
+  FROM nllq n JOIN documents d ON n.doc_id = CAST(d.doc_id AS BIGINT)
+),
+chist AS (
+  SELECT lang, avg_nll, count(*) AS cnt FROM cscored GROUP BY lang, avg_nll
+),
+ccum AS (
+  SELECT lang, avg_nll,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY avg_nll
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM chist
+),
+ccuts AS (
+  SELECT lang,
+         MIN(CASE WHEN 3 * cum >= n THEN avg_nll END) AS t1,
+         MIN(CASE WHEN 3 * cum >= 2 * n THEN avg_nll END) AS t2
+  FROM ccum GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_nll, s.ppl,
+       CASE WHEN s.avg_nll <= c.t1 THEN 'head'
+            WHEN s.avg_nll <= c.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM cscored s JOIN ccuts c USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 6. DSIR hashed-unigram importance weights
 # ---------------------------------------------------------------------------
 

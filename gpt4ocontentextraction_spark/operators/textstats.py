@@ -198,6 +198,154 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme)
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4  # winnowing window: one fingerprint per W consecutive hashes
+# pair thresholds, calibrated so the gate asserts a SELECTIVE result on
+# the shared-vocabulary synthetic corpus (~20 pairs at sf0.001 AND
+# sf0.01, not a near-complete pair graph): only fingerprints rare enough
+# to be discriminative (df <= 20 docs) count, and a pair must share 10+
+WINNOW_MIN_SHARED = 10
+WINNOW_DF_CAP = 20
+
+# the same char-8-gram polyhash array as `fingerprints` (kept verbatim so
+# both operators share the proven cross-engine hash idiom)
+_HS_EXPR = f"""
+CASE WHEN length(text) >= {_K} THEN
+  transform(sequence(1, length(text) - {_K} + 1),
+            i -> aggregate(split(substring(text, i, {_K}), ''), 0L,
+                           (acc, c) -> (acc * 31 + ascii(c)) % {MOD}))
+ELSE array(aggregate(split(text, ''), 0L,
+                     (acc, c) -> (acc * 31 + ascii(c)) % {MOD}))
+END
+"""
+
+# each selected (pos, fp) is packed into one BIGINT — pos * 2^31 + fp,
+# exact because fp < MOD = 2^31 - 1 — so the distinct runs over a plain
+# integer list (DuckDB's list_distinct does not support struct elements)
+_WINNOW_SHIFT = 2**31
+
+_WINNOW_EXPR = f"""
+element_at(transform(array({_HS_EXPR}), hs ->
+  array_distinct(transform(sequence(1, greatest(1, size(hs) - {WINNOW_W} + 1)),
+    j -> (CAST(j AS BIGINT) + size(slice(hs, j, {WINNOW_W}))
+            - array_position(reverse(slice(hs, j, {WINNOW_W})),
+                             array_min(slice(hs, j, {WINNOW_W}))))
+         * {_WINNOW_SHIFT}L
+         + array_min(slice(hs, j, {WINNOW_W}))))
+), 1)
+"""
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS local-fingerprinting scheme; upgrades `fingerprints`' global
+    -min degenerate case): over the char-8-gram polyhash sequence, every
+    window of WINNOW_W consecutive hashes contributes its minimum —
+    rightmost position on ties — and the distinct selected (pos, hash)
+    pairs are the document's fingerprint set. Guarantees every shared
+    substring of length >= k + w - 1 yields at least one shared selected
+    fingerprint (the winnowing coverage theorem), with expected density
+    2/(w+1) of all grams.
+
+    Scale shape: a single projection — the window-min selection runs
+    entirely inside one JVM expression per document (no shuffle, no UDF,
+    no explode until the final bounded fingerprint set), so it pipelines
+    with the parquet scan at any corpus size. Docs shorter than k hash
+    whole-text, as in `fingerprints`; NULL text yields no rows."""
+    sel = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr(_WINNOW_EXPR)).alias("s"),
+    )
+    return sel.select(
+        "doc_id",
+        F.expr(f"s div {_WINNOW_SHIFT}L").cast("long").alias("pos"),
+        (F.col("s") % F.lit(_WINNOW_SHIFT)).cast("long").alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(docs: DataFrame) -> DataFrame:
+    """Document-overlap candidate pairs from shared winnowed fingerprints
+    (the MOSS match step): unordered doc pairs sharing >= WINNOW_MIN_
+    SHARED distinct selected hashes, after dropping ubiquitous hashes
+    (document frequency > WINNOW_DF_CAP — boilerplate/stopword grams,
+    standard MOSS hygiene that also BOUNDS the join fanout: each
+    surviving fingerprint contributes at most DF_CAP^2/2 pairs, so the
+    self-join is an equality join with capped per-key cardinality, never
+    an all-pairs product).
+
+    Scale shape: fingerprint extraction is the shuffle-free projection
+    above; one hash aggregate computes document frequency; the pair join
+    shuffles (fp, doc_id) ids only — text never moves. The final count
+    >= threshold is a map-side-combinable aggregate on (doc_a, doc_b)."""
+    fps = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    f2 = fps.join(rare, "fp")
+    a = f2.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = f2.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+_WINNOW_CTE = f"""
+wg AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE WHEN length(text) >= {_K} THEN
+      list_transform(range(1, length(text) - {_K} + 2),
+                     i -> substr(text, CAST(i AS BIGINT), {_K}))
+    ELSE [text] END AS grams
+  FROM documents WHERE text IS NOT NULL
+),
+wh AS (SELECT doc_id, {duck_polyhash_over_array('grams')} AS hs FROM wg),
+wsel AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(1, len(hs) - {WINNOW_W} + 1) + 1),
+    j -> (j + len(hs[j:j+{WINNOW_W}-1])
+            - list_position(list_reverse(hs[j:j+{WINNOW_W}-1]),
+                            list_min(hs[j:j+{WINNOW_W}-1])))
+         * {_WINNOW_SHIFT}
+         + list_min(hs[j:j+{WINNOW_W}-1]))) AS sel
+  FROM wh
+),
+wf AS (
+  SELECT doc_id, CAST(s // {_WINNOW_SHIFT} AS BIGINT) AS pos,
+         CAST(s % {_WINNOW_SHIFT} AS BIGINT) AS fp
+  FROM (SELECT doc_id, unnest(sel) AS s FROM wsel)
+)
+"""
+
+WINNOW_FINGERPRINTS_SQL = f"""
+WITH {_WINNOW_CTE.strip()}
+SELECT doc_id, pos, fp FROM wf
+"""
+
+WINNOW_PAIRS_SQL = f"""
+WITH {_WINNOW_CTE.strip()},
+wdist AS (SELECT DISTINCT doc_id, fp FROM wf),
+wrare AS (
+  SELECT fp FROM wdist GROUP BY fp HAVING count(*) <= {WINNOW_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM wdist a JOIN wrare USING (fp) JOIN wdist b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-language token-count quantiles (threshold calibration)
 # ---------------------------------------------------------------------------
 
