@@ -457,6 +457,10 @@ def _pack_over(toks: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
     deduplicated survivor set)."""
     toks = toks.withColumn("block", F.expr(f"doc_id DIV {PACK_BLOCK}"))
     btot = toks.groupBy("block").agg(F.sum("n_tokens").alias("bt"))
+    # this window sees only the n/PACK_BLOCK block totals — bounded by
+    # construction (Catalyst folds a dummy constant partition key away,
+    # so the bound is recorded in tests/test_plans.py's sweep allowlist
+    # rather than in the spec)
     wb = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
     boff = btot.select(
         "block", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("boff")
@@ -1816,6 +1820,7 @@ def vocab_coverage(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
     counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(k)
+    # window input is the k-row top only (see test_plans.py allowlist)
     wr = Window.orderBy(F.desc("cnt"), F.asc("w"))
     fl6 = lambda c: F.floor(c * 1_000_000) / 1_000_000  # noqa: E731
     return (

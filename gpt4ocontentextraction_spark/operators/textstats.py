@@ -238,6 +238,67 @@ element_at(transform(array({_HS_EXPR}), hs ->
 """
 
 
+def _winnow_udf():
+    """Arrow-batched winnowing kernel, integer-identical to the
+    `_WINNOW_EXPR` spec (pinned against an independent Python reference
+    in tests/test_winnow.py): code points come from a vectorized UTF-32
+    reinterpretation (= Spark's `ascii(c)` per char), the k-gram
+    polyhash is the same left fold `(acc*31 + c) % MOD` evaluated as K
+    vectorized passes, and the window-min/rightmost-tie selection is W
+    shifted `<=` comparisons — all int64, no float anywhere, so no
+    evaluation order can drift. The interpreted-HOF expression form
+    cost 10.3 s at sf0.1 (slice/reverse/min lambdas per window); the
+    kernel replaces it as the production path, the expression stays as
+    the cross-engine spec."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    K, W, SHIFT = _K, WINNOW_W, _WINNOW_SHIFT
+
+    @pandas_udf("array<long>")
+    def winnow_sel(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = len(codes)
+            if n >= K:
+                m = n - K + 1
+                hs = np.zeros(m, dtype=np.int64)
+                for j in range(K):
+                    hs = (hs * 31 + codes[j : j + m]) % MOD
+            else:
+                acc = 0
+                for c in codes:
+                    acc = (acc * 31 + int(c)) % MOD
+                hs = np.array([acc], dtype=np.int64)
+                m = 1
+            if m >= W:
+                nw = m - W + 1
+                mins = hs[0:nw].copy()
+                pos = np.zeros(nw, dtype=np.int64)
+                for i in range(1, W):
+                    cand = hs[i : i + nw]
+                    take = cand <= mins  # <= -> rightmost min wins
+                    mins = np.where(take, cand, mins)
+                    pos = np.where(take, i, pos)
+                abspos = np.arange(nw, dtype=np.int64) + pos + 1
+            else:
+                mn = int(hs.min())
+                p = m - 1 - int(np.argmax((hs == mn)[::-1]))
+                mins = np.array([mn], dtype=np.int64)
+                abspos = np.array([p + 1], dtype=np.int64)
+            out.append(np.unique(abspos * SHIFT + mins).tolist())
+        return pd.Series(out, dtype="object")
+
+    return winnow_sel
+
+
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
     the MOSS local-fingerprinting scheme; upgrades `fingerprints`' global
@@ -249,14 +310,15 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     fingerprint (the winnowing coverage theorem), with expected density
     2/(w+1) of all grams.
 
-    Scale shape: a single projection — the window-min selection runs
-    entirely inside one JVM expression per document (no shuffle, no UDF,
-    no explode until the final bounded fingerprint set), so it pipelines
-    with the parquet scan at any corpus size. Docs shorter than k hash
+    Scale shape: a single shuffle-free projection (plan-pinned) — the
+    selection runs in one Arrow-batched integer kernel per document
+    batch (`_winnow_udf`; the equivalent JVM expression `_WINNOW_EXPR`
+    is the spec, equality-pinned in tests), so it pipelines with the
+    parquet scan at any corpus size. Docs shorter than k hash
     whole-text, as in `fingerprints`; NULL text yields no rows."""
     sel = docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.expr(_WINNOW_EXPR)).alias("s"),
+        F.explode(_winnow_udf()(F.col("text"))).alias("s"),
     )
     return sel.select(
         "doc_id",
@@ -279,7 +341,12 @@ def winnow_overlap_pairs(docs: DataFrame) -> DataFrame:
     above; one hash aggregate computes document frequency; the pair join
     shuffles (fp, doc_id) ids only — text never moves. The final count
     >= threshold is a map-side-combinable aggregate on (doc_a, doc_b)."""
-    fps = winnow_fingerprints(docs).select("doc_id", "fp").distinct()
+    from ..cached import track
+
+    # the distinct fp relation feeds BOTH the df aggregate and the pair
+    # join; track()-persist so the kernel runs once (released by the
+    # gate wrapper / caller per the cached.py contract)
+    fps = track(winnow_fingerprints(docs).select("doc_id", "fp").distinct())
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

@@ -177,3 +177,47 @@ def test_semdedup_grouped_single_exchange(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_no_registered_query_has_unpartitioned_window(spark):
+    """Repo-wide convention sweep (plans/inspect.py): NO registered gate
+    may move data through a WindowExec without a partition spec — the
+    shape that single-partitions its whole input at scale — EXCEPT the
+    allowlisted windows whose input is bounded by construction and can
+    never be the corpus (Catalyst folds a dummy constant partition key
+    out of the spec, so the allowlist is where the bound is recorded):
+      - pack_sequences / pretraining_mix: the cross-block cumsum runs
+        over n/PACK_BLOCK block TOTALS (the 10^12-doc form recurses
+        hierarchically, SCALE.md); the per-doc cumsum is partitioned.
+      - vocab_coverage: the rank/cumulative window runs over the k-row
+        top slice cut by TakeOrderedAndProject.
+    Adding a NEW gate with an unpartitioned window fails this test
+    loudly instead of shipping a global sort. Plan construction only;
+    nothing executes beyond driver-side parameter fetches."""
+    from gpt4ocontentextraction_spark.cached import release_all
+    from gpt4ocontentextraction_spark.driver_contract import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
+    from gpt4ocontentextraction_spark.plans.inspect import (
+        assert_no_unpartitioned_window,
+    )
+
+    bounded_window_allowlist = {
+        "pack_sequences",
+        "pretraining_mix",
+        "vocab_coverage",
+    }
+    allq = dict(QUERIES)
+    allq.update(EXTRA_QUERIES)
+    bad = []
+    for name, fn in allq.items():
+        if name in bounded_window_allowlist:
+            continue
+        release_all()
+        try:
+            assert_no_unpartitioned_window(fn(spark, SF))
+        except AssertionError:
+            bad.append(name)
+    release_all()
+    assert not bad, f"unpartitioned window in: {bad}"

@@ -57,6 +57,34 @@ def test_winnow_matches_reference_on_corpus_sample(spark):
         assert got[doc_id] == _ref_winnow(text), f"doc {doc_id}"
 
 
+def test_winnow_kernel_equals_expression_spec(spark):
+    # the Arrow kernel (production path) must emit row-for-row what the
+    # JVM higher-order-function expression spec emits — same packed
+    # (pos, fp) multiset over real corpus docs incl. a null-text row
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    kern = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in T.winnow_fingerprints(docs).collect()
+    }
+    expr_rows = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr(T._WINNOW_EXPR)).alias("s"),
+    )
+    spec = {
+        (
+            r["doc_id"],
+            r["s"] // T._WINNOW_SHIFT,
+            r["s"] % T._WINNOW_SHIFT,
+        )
+        for r in expr_rows.collect()
+    }
+    assert kern == spec
+
+
 def test_winnow_coverage_theorem_shared_substring(spark):
     # two docs sharing a >= K + W - 1 = 11-char substring MUST share at
     # least one selected fingerprint (the winnowing guarantee)
