@@ -1604,6 +1604,26 @@ def q_pretraining_mix(spark, sf_dir):
     return curation.pretraining_mix(_docs(spark, sf_dir))
 
 
+@register_extra("split_assign", curation.SPLIT_ASSIGN_SQL)
+def q_split_assign(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment by hashed doc_id
+    (hash-based, so stable under repartitioning/appends). Pure
+    projection, zero shuffles; LCG arithmetic identical on both
+    engines. EXTRA (local-parity) gate; Python-twin equality in
+    tests/test_split.py."""
+    return curation.split_assign(_docs(spark, sf_dir))
+
+
+@register_extra("split_leakage", curation.SPLIT_LEAKAGE_SQL)
+def q_split_leakage(spark, sf_dir):
+    """Cross-split near-dup leakage report: MinHash-LSH pairs whose
+    members fall in different splits — the eval-contamination a hash
+    split can't prevent. The split label is a pure id function, so this
+    is a projection over the banded pair plan (no corpus join). EXTRA
+    (local-parity) gate; subset + label cases in tests/test_split.py."""
+    return curation.split_leakage(_docs(spark, sf_dir))
+
+
 @register_extra("ccnet_buckets", curation.CCNET_BUCKETS_SQL)
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet (Wenzek et al. 2019) per-language head/middle/tail

@@ -677,6 +677,101 @@ FROM cscored s JOIN ccuts c USING (lang)
 
 
 # ---------------------------------------------------------------------------
+# 5c. Train/val/test split + cross-split leakage guard
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 98  # buckets 0-97 train, 98 val, 99 test
+
+
+def _split_bucket(id_col: Column) -> Column:
+    """Deterministic 0-99 bucket from any doc id — quota_sample's LCG
+    key arithmetic mod 100, a pure function of the id so it applies to
+    ANY id-carrying relation without a join."""
+    return ((id_col % _QH_MOD) * _QH_A + _QH_B) % _QH_MOD % 100
+
+
+def _split_label(id_col: Column) -> Column:
+    b = _split_bucket(id_col)
+    return (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_TRAIN_PCT + 1, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _duck_split_label(id_expr: str) -> str:
+    b = f"((({id_expr}) % {_QH_MOD}) * {_QH_A} + {_QH_B}) % {_QH_MOD} % 100"
+    return (
+        f"CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {b} < {SPLIT_TRAIN_PCT + 1} THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+def split_assign(docs: DataFrame) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by hashed doc_id
+    (the C4/Pile-style held-out split: hash-based, not positional, so
+    it is stable under re-partitioning, appends, and re-runs). Pure
+    projection — zero shuffles at any corpus size; integer arithmetic
+    identical on both engines (quota_sample's LCG, overflow-safe at
+    10^12 ids)."""
+    return _docs_base(docs).select(
+        "doc_id", "lang", _split_label(F.col("doc_id")).alias("split")
+    )
+
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       {_duck_split_label('CAST(doc_id AS BIGINT)')} AS split
+FROM documents
+"""
+
+
+def split_leakage(docs: DataFrame) -> DataFrame:
+    """Cross-split near-duplicate leakage report: MinHash-LSH near-dup
+    pairs whose members land in DIFFERENT splits — the eval-set
+    contamination a hash split cannot prevent (a near-duplicate of a
+    train doc falling into val/test silently inflates eval scores; cf.
+    the dedup motivation in Lee et al. 2022). Output (id_a, id_b,
+    split_a, split_b, jaccard).
+
+    Because the split is a pure function of the id, labeling is a
+    PROJECTION on the (already ids-only) pair relation — no join with
+    the corpus; the heavy lifting is exactly minhash_lsh_pairs' banded
+    plan, unchanged. The leakage fix downstream is a broadcast
+    anti-join of flagged val/test ids against the training set."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs)
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        _split_label(F.col("id_a")).alias("split_a"),
+        _split_label(F.col("id_b")).alias("split_b"),
+        "jaccard",
+    )
+    return out.filter(F.col("split_a") != F.col("split_b"))
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import _DUCK_JAC_CTES, JACCARD_THRESHOLD
+
+    return f"""
+WITH {_DUCK_JAC_CTES.strip()}
+SELECT id_a, id_b,
+       {_duck_split_label('id_a')} AS split_a,
+       {_duck_split_label('id_b')} AS split_b,
+       jaccard
+FROM jac
+WHERE jaccard >= {JACCARD_THRESHOLD}
+  AND {_duck_split_label('id_a')} <> {_duck_split_label('id_b')}
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+# ---------------------------------------------------------------------------
 # 6. DSIR hashed-unigram importance weights
 # ---------------------------------------------------------------------------
 
