@@ -188,6 +188,7 @@ HEADLINE = (
     "line_repetition_stats",
     "filter_funnel",
     "token_quantiles",
+    "source_report",
     "normalize_text",
     "token_budget_mix",
     "pretraining_mix",

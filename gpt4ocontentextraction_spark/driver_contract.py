@@ -1604,6 +1604,18 @@ def q_pretraining_mix(spark, sf_dir):
     return curation.pretraining_mix(_docs(spark, sf_dir))
 
 
+@register_extra("source_report", textstats.SOURCE_REPORT_SQL)
+def q_source_report(spark, sf_dir):
+    """Per-source (domain) corpus report card — docs, tokens, exact-dup
+    count/fraction, mean quality per source (the Dolma/RedPajama source
+    summary that fixes mixing weights). One signal pass + the exact-
+    dedup key join + a map-side-combinable per-source aggregate; the
+    mean is an integer sum of pre-floored 1e-4 quality units so both
+    engines agree exactly. EXTRA (local-parity) gate; hand-math cases
+    in tests/test_source_report.py."""
+    return textstats.source_report(_docs(spark, sf_dir))
+
+
 @register_extra("split_assign", curation.SPLIT_ASSIGN_SQL)
 def q_split_assign(spark, sf_dir):
     """Deterministic 98/1/1 train/val/test assignment by hashed doc_id

@@ -198,6 +198,124 @@ FROM h
 
 
 # ---------------------------------------------------------------------------
+# Per-source corpus report card
+# ---------------------------------------------------------------------------
+
+
+def source_report(docs: DataFrame) -> DataFrame:
+    """The per-SOURCE (domain) report card a curation pipeline publishes
+    before fixing mixing weights (the Dolma / RedPajama source-summary
+    shape): per source, document count, token total, exact-duplicate
+    count and fraction (docs whose first-2-word normalization key has a
+    smaller-id keeper, `exact_dedup`'s rule), and mean quality score
+    (`quality_score`'s blend).
+
+    Determinism: per-doc quality floors at 1e-4 FIRST, making it an
+    exact integer in units of 1e-4; the per-source mean is then an
+    integer sum divided twice in double (same two IEEE ops in DuckDB)
+    and floored — no float accumulation anywhere. NULL text coalesces
+    to '' so every document is counted.
+
+    Scale shape: one projection computes all per-doc signals in a
+    single pass; the dup flag needs one groupBy on the normalization
+    key + one join back (the exact-dedup pipeline's own exchanges); the
+    final per-source aggregate is map-side combinable with source
+    cardinality output rows."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("text"), F.lit("")).alias("t"),
+        "source",
+    )
+    sig = f"""
+    element_at(transform(array(split(t, ' ')), ws -> named_struct(
+      'n_words', size(ws),
+      'q10k', cast(floor((
+          0.4 * least(size(ws) / 50.0D, 1.0D)
+        + 0.3 * ({_count_in('ws', STOPWORDS)} / cast(size(ws) as double))
+        + 0.3 * least((aggregate(ws, 0L, (a, w) -> a + length(w))
+                       / cast(size(ws) as double)) / 8.0D, 1.0D)
+      ) * 10000) as bigint),
+      'dup_key', concat_ws(' ', slice(ws, 1, 2))
+    )), 1)
+    """
+    per = base.select(
+        "doc_id",
+        "source",
+        F.expr(sig).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("s.n_words").cast("long").alias("n_words"),
+        F.col("s.q10k").alias("q10k"),
+        F.col("s.dup_key").alias("dup_key"),
+    )
+    keepers = per.groupBy("dup_key").agg(F.min("doc_id").alias("keeper"))
+    j = per.join(keepers, "dup_key")
+    dup = (F.col("doc_id") != F.col("keeper")).cast("long")
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.sum(dup).cast("long").alias("dup_docs"),
+        F.sum("q10k").cast("long").alias("sq"),
+    )
+    fl4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "dup_docs",
+        fl4(
+            F.col("dup_docs").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_frac"),
+        fl4(
+            F.col("sq").cast("double")
+            / F.col("n_docs").cast("double")
+            / 10000.0
+        ).alias("mean_quality"),
+    )
+
+
+SOURCE_REPORT_SQL = f"""
+WITH sbase AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, coalesce(text, '') AS t, source
+  FROM documents
+),
+sper AS (
+  SELECT doc_id, source,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(floor((
+        0.4 * least(len(ws) / 50.0, 1.0)
+      + 0.3 * ({_duck_count_in(STOPWORDS)} / CAST(len(ws) AS DOUBLE))
+      + 0.3 * least((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+                       (a, w) -> a + w)
+                     / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)
+    ) * 10000) AS BIGINT) AS q10k,
+    array_to_string(ws[1:2], ' ') AS dup_key
+  FROM (SELECT doc_id, source, string_split(t, ' ') AS ws FROM sbase)
+),
+skeep AS (SELECT dup_key, MIN(doc_id) AS keeper FROM sper GROUP BY dup_key),
+sagg AS (
+  SELECT p.source,
+         COUNT(*) AS n_docs,
+         SUM(p.n_words) AS n_tokens,
+         SUM(CASE WHEN p.doc_id <> k.keeper THEN 1 ELSE 0 END) AS dup_docs,
+         SUM(p.q10k) AS sq
+  FROM sper p JOIN skeep k USING (dup_key)
+  GROUP BY p.source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(dup_docs AS BIGINT) AS dup_docs,
+       floor(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             * 10000) / 10000 AS dup_frac,
+       floor(CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 10000.0
+             * 10000) / 10000 AS mean_quality
+FROM sagg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme)
 # ---------------------------------------------------------------------------
 
