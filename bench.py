@@ -179,6 +179,7 @@ HEADLINE = (
     "simhash64_pairs_banded",
     "embedding_neardup_lsh",
     "semdedup_k64",
+    "label_noise",
     "unigram_logprob",
     "dsir_weights",
     "c4_filters",

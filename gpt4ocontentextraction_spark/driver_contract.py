@@ -22,6 +22,7 @@ from .operators import (
     curation,
     dedup,
     embed,
+    labels,
     maintenance,
     quantize,
     retrieval,
@@ -1161,6 +1162,31 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     tests/test_retrieval_ivf.py pins recall vs brute force and
     partitioning-independence."""
     return retrieval.ivf_kmeans_topk(spark, sf_dir)
+
+
+@register_extra("label_noise", labels.LABEL_NOISE_SQL)
+def q_label_noise(spark, sf_dir):
+    """Leave-one-out mislabel detection over the labeled embedding
+    corpus (Northcutt et al. 2021 confident-learning geometry): a
+    vector whose cosine to its OWN label's LOO centroid loses to some
+    OTHER label's centroid is a suspected mislabel. All sums are exact
+    fixed-point integers; LOO costs nothing via dot(x, c-x) = dot -
+    |x|^2. One centroid aggregate + a broadcast n*L pass, no window.
+    EXTRA (local-parity) gate; hand geometry in tests/test_labels.py."""
+    return labels.label_noise(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+@register_extra("label_centroids", labels.LABEL_CENTROIDS_SQL)
+def q_label_centroids(spark, sf_dir):
+    """Per-label centroid report card: member count, mean/min member
+    cosine to the full centroid (compactness), nearest rival centroid
+    (separation). Same exact-integer centroid pass as label_noise plus
+    an L x L broadcast self-join. EXTRA (local-parity) gate."""
+    return labels.label_centroids(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 @register_extra("embedding_neardup", retrieval.EMBEDDING_NEARDUP_SQL)
