@@ -190,6 +190,7 @@ HEADLINE = (
     "filter_funnel",
     "token_quantiles",
     "source_report",
+    "asof_attribution",
     "normalize_text",
     "token_budget_mix",
     "pretraining_mix",

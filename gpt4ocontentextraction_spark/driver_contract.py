@@ -26,6 +26,7 @@ from .operators import (
     maintenance,
     quantize,
     retrieval,
+    temporal,
     textstats,
 )
 from .operators.chunk import markdown_chunks, page_chunks
@@ -1162,6 +1163,33 @@ def q_ivf_kmeans_topk(spark, sf_dir):
     tests/test_retrieval_ivf.py pins recall vs brute force and
     partitioning-independence."""
     return retrieval.ivf_kmeans_topk(spark, sf_dir)
+
+
+@register_extra("asof_attribution", temporal.ASOF_ATTRIBUTION_SQL)
+def q_asof_attribution(spark, sf_dir):
+    """AS-OF join (last-touch attribution): every click gains the most
+    recent prior-or-equal purchase by the same user. Spark has no ASOF
+    operator; the scalable composition is union + ordered carry
+    (last(ignorenulls) over a partitioned row frame) — one exchange on
+    the key, linear state, no theta join. The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN, an independent implementation of the semantics.
+    EXTRA (local-parity) gate; tie/null cases in tests/test_temporal.py."""
+    return temporal.asof_attribution(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+@register_extra("session_promo_overlap", temporal.SESSION_PROMO_OVERLAP_SQL)
+def q_session_promo_overlap(spark, sf_dir):
+    """Interval-overlap RANGE join: 10-minute-gap user sessions against
+    daily 12:00-14:00 promo windows, exact integer overlap_us. The
+    scalable shape is day-grain bucketing (explode intervals to grains,
+    equality-join on the grain); the oracle is the flat inequality
+    join. EXTRA (local-parity) gate; midnight-spanning case in
+    tests/test_temporal.py."""
+    return temporal.session_promo_overlap(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
 
 
 @register_extra("label_noise", labels.LABEL_NOISE_SQL)
