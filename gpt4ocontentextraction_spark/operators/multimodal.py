@@ -352,3 +352,90 @@ def resolve_citations(extracted: DataFrame, media: DataFrame) -> DataFrame:
         F.broadcast(media.select("media_ref", "media_kind", "width", "height")),
         "media_ref",
     )
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprint (64-bit dHash) per media row, Arrow-
+    batched. PNG/BMP blobs hash REAL decoded pixels (functions/phash.py
+    over the stdlib codecs); FAKE-codec blobs hash their deterministic
+    synthetic payload tiled to one gray frame — same routing contract
+    as decode_features. Output (media_ref, phash long).
+
+    Scale shape: a pure mapInPandas projection — no shuffle; the hash
+    is 8 bytes per image however large the blob, so everything
+    downstream (the banded join) moves fingerprints, not pixels."""
+    from ..functions.phash import dhash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["data"]):
+                blob = bytes(blob)
+                if not _is_fake_blob(blob):
+                    px = _decode_real(blob)["pixels"]
+                else:
+                    _magic, w, h = struct.unpack_from(HEADER_FMT, blob, 0)
+                    payload = np.frombuffer(
+                        blob, dtype=np.uint8, offset=HEADER_SIZE
+                    )
+                    px = np.resize(payload, (max(h, 1), max(w, 1)))
+                rows.append((ref, dhash64(px)))
+            yield pd.DataFrame(rows, columns=["media_ref", "phash"])
+
+    return media.select("media_ref", "data").mapInPandas(
+        run, "media_ref string, phash long"
+    )
+
+
+def image_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: dHash + the simhash64-style 4x16-bit
+    banded equality join + exact bit_count(xor) verify. Pigeonhole: any
+    pair within Hamming distance 3 differs in <= 3 of the 4 bands, so
+    it collides on at least one band — recall 1 at the default
+    threshold, no all-pairs comparison.
+
+    Scale shape: the band explode is x4; the equality join shuffles
+    (band, 8-byte hash, ref) only; verification is one JVM bit_count
+    per candidate. Identical plan family to simhash64_pairs_banded
+    (dedup.py), which gates the banded-join shape against a full
+    oracle — this operator's codec leg is pytest-pinned instead
+    (DuckDB cannot decode PNG)."""
+    ph = image_phash(media)
+    bands = ph.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(f"(phash >> {16 * b}) & 65535").alias("v"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_ref", "phash", "bv.b", "bv.v")
+    a = bands.select(
+        F.col("media_ref").alias("ref_a"),
+        F.col("phash").alias("ph_a"),
+        "b",
+        "v",
+    )
+    b = bands.select(
+        F.col("media_ref").alias("ref_b"),
+        F.col("phash").alias("ph_b"),
+        "b",
+        "v",
+    )
+    cand = (
+        a.join(b, ["b", "v"])
+        .where(F.col("ref_a") < F.col("ref_b"))
+        .select("ref_a", "ref_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ph_a ^ ph_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("ref_a", "ref_b", "hamming")
+    )
