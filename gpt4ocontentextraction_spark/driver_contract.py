@@ -1132,6 +1132,25 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+@register_extra("char_entropy", textstats.CHAR_ENTROPY_SQL)
+def q_char_entropy(spark, sf_dir):
+    """Character-class Shannon entropy + alpha/digit fractions — the
+    gibberish/boilerplate shape signal. Pure codegen'd JVM projection
+    (no UDF, no shuffle); fixed-order shared ln-term formula keeps the
+    double bit-identical to the DuckDB oracle (the BM25 device). EXTRA
+    (local-parity) gate; hand-computed cases in tests/test_entropy.py."""
+    return textstats.char_entropy(_docs(spark, sf_dir))
+
+
+@register_extra("compression_signals", None)
+def q_compression_signals(spark, sf_dir):
+    """Deflate compression ratio per document (redundancy signal).
+    Arrow-batched stdlib-zlib pandas UDF — deflate has no DuckDB
+    analog, so this is a rows-only gate; tests/test_entropy.py pins the
+    UDF against direct zlib calls and the repetitive<diverse ordering."""
+    return textstats.compression_signals(_docs(spark, sf_dir))
+
+
 @register("embed_deterministic", embed.EMBED_SQL)
 def q_embed(spark, sf_dir):
     """M8: deterministic hash embedding, exploded to (doc_id, dim, val)."""

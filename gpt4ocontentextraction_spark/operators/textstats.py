@@ -601,3 +601,198 @@ SELECT lang, CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n_docs,
 FROM tr, unnest([{", ".join(str(q) for q in QUANTILE_QS)}]) AS u(q)
 WHERE rn = ceil(q * n)
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-class entropy + shape ratios (quality-signal family)
+# ---------------------------------------------------------------------------
+
+# ln(2) as a double LITERAL shared by both engines — dividing by each
+# engine's own ln(2.0) call would bet on two libm results agreeing.
+_LN2 = 0.6931471805599453
+
+# character classes: ASCII-only regexes so Java (Spark) and RE2 (DuckDB)
+# agree on every input; `other` is the exact integer remainder, so the
+# five counts always sum to n_chars
+_ENT_CLASSES = (
+    ("c_lower", "[a-z]"),
+    ("c_upper", "[A-Z]"),
+    ("c_digit", "[0-9]"),
+    ("c_space", " "),
+)
+
+
+def _ent_term(c: str) -> str:
+    """One class's c*ln(c) contribution; identical text runs on Spark and
+    DuckDB (the BM25 shared-formula device — ln on small-integer-valued
+    doubles plus IEEE +,*,/ evaluates bit-identically on both engines)."""
+    return (
+        f"(CASE WHEN {c} > 0 THEN CAST({c} AS DOUBLE)"
+        f" * ln(CAST({c} AS DOUBLE)) ELSE 0.0 END)"
+    )
+
+
+_ENT_SUM = " + ".join(
+    _ent_term(c) for c in ("c_lower", "c_upper", "c_digit", "c_space", "c_other")
+)
+
+# H = log2(L) - (sum_i c_i*ln(c_i))/L/ln2  (grouped-counts identity for
+# -sum p*log2 p), floored at 1e-4; L=0 -> NULL on BOTH engines (DuckDB
+# IEEE doubles would give inf/nan here while Spark non-ANSI gives NULL)
+_ENT_FORMULA = (
+    "(CASE WHEN n_chars = 0 THEN NULL ELSE"
+    " floor(((ln(CAST(n_chars AS DOUBLE))"
+    f" - ({_ENT_SUM}) / CAST(n_chars AS DOUBLE)) / {_LN2!r})"
+    " * 10000) / 10000 END)"
+)
+
+_ALPHA_FRAC = (
+    "(CASE WHEN n_chars = 0 THEN NULL ELSE"
+    " floor(CAST(c_lower + c_upper AS DOUBLE) / CAST(n_chars AS DOUBLE)"
+    " * 10000) / 10000 END)"
+)
+
+_DIGIT_FRAC = (
+    "(CASE WHEN n_chars = 0 THEN NULL ELSE"
+    " floor(CAST(c_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)"
+    " * 10000) / 10000 END)"
+)
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-CLASS Shannon entropy (bits) plus alphabetic
+    and digit fractions — the gibberish / boilerplate / numeric-table
+    detector a curation pipeline runs next to the word-level quality
+    score (RefinedWeb/Gopher-style shape signal: natural prose sits near
+    ~1.9-2.1 bits over {lower, upper, digit, space, other}; base64 blobs,
+    number dumps and separator walls fall far outside that band, e.g. a
+    single-class document scores exactly 0.0).
+
+    Classes are counted as length deltas under ASCII regex removal — five
+    codegen'd JVM expressions in ONE projection over the scan: no UDF, no
+    explode, no shuffle, so the operator is embarrassingly parallel and
+    column-pruned at any scale. Entropy uses the grouped-counts identity
+    H = log2(L) - (sum c_i ln c_i)/(L ln 2) with the term sum written in
+    a FIXED textual order shared verbatim with the DuckDB oracle (the
+    BM25 device), ln(2) inlined as a literal, and a floor at 1e-4
+    (the repo's _fl4 convention); empty/NULL text yields NULL entropy on
+    both engines rather than engine-specific inf/NULL division."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    counted = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(t).cast("long").alias("n_chars"),
+        *[
+            (F.length(t) - F.length(F.regexp_replace(t, pat, "")))
+            .cast("long")
+            .alias(name)
+            for name, pat in _ENT_CLASSES
+        ],
+    ).withColumn(
+        "c_other",
+        (
+            F.col("n_chars")
+            - F.col("c_lower")
+            - F.col("c_upper")
+            - F.col("c_digit")
+            - F.col("c_space")
+        ).cast("long"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        "c_lower",
+        "c_upper",
+        "c_digit",
+        "c_space",
+        "c_other",
+        F.expr(_ENT_FORMULA).alias("class_entropy"),
+        F.expr(_ALPHA_FRAC).alias("alpha_frac"),
+        F.expr(_DIGIT_FRAC).alias("digit_frac"),
+    )
+
+
+CHAR_ENTROPY_SQL = f"""
+WITH eb AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, coalesce(text, '') AS t
+  FROM documents
+),
+ec AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+{",".join(
+    f"    CAST(length(t) - length(regexp_replace(t, '{pat}', '', 'g'))"
+    f" AS BIGINT) AS {name}" for name, pat in _ENT_CLASSES
+)}
+  FROM eb
+),
+ec2 AS (
+  SELECT *, CAST(n_chars - c_lower - c_upper - c_digit - c_space AS BIGINT)
+         AS c_other
+  FROM ec
+)
+SELECT doc_id, n_chars, c_lower, c_upper, c_digit, c_space, c_other,
+       {_ENT_FORMULA} AS class_entropy,
+       {_ALPHA_FRAC} AS alpha_frac,
+       {_DIGIT_FRAC} AS digit_frac
+FROM ec2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deflate compression ratio (redundancy signal; no SQL analog)
+# ---------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6  # fixed: the ratio is deterministic per zlib build
+
+
+def compression_signals(docs: DataFrame) -> DataFrame:
+    """Per-document deflate compression ratio — the direct redundancy
+    measure curation stacks use beside n-gram repetition rules (a very
+    low compressed/raw ratio flags template walls and repeated spans
+    that k-gram heuristics can miss; a ratio near/above 1 flags
+    already-compressed or random payloads pasted as text).
+
+    Arrow-batched pandas UDF over stdlib zlib (level fixed at
+    ZLIB_LEVEL) — one pass, no shuffle; the bytes never leave the
+    executor, only two integers per row come back. No DuckDB oracle
+    exists for deflate, so this ships as a pytest-pinned operator
+    (tests/test_entropy.py checks the UDF against direct zlib calls and
+    the repetitive<diverse ordering) — the rows-only gate shape the
+    driver records for non-SQL-expressible ops. NULL text yields NULL
+    lengths/ratio; ratio floors at 1e-4 like every blended signal."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("raw_len long, zip_len long")
+    def zlens(texts):
+        import zlib
+
+        raw, comp = [], []
+        for t in texts.tolist():
+            if t is None or t != t:
+                raw.append(None)
+                comp.append(None)
+                continue
+            b = t.encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, ZLIB_LEVEL)))
+        return pd.DataFrame({"raw_len": raw, "zip_len": comp})
+
+    out = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        zlens(F.col("text")).alias("z"),
+    )
+    ratio = F.when(
+        F.col("z.raw_len") > 0,
+        F.floor(
+            F.col("z.zip_len").cast("double")
+            / F.col("z.raw_len").cast("double")
+            * 10000
+        )
+        / 10000,
+    )
+    return out.select(
+        "doc_id",
+        F.col("z.raw_len").alias("raw_len"),
+        F.col("z.zip_len").alias("zip_len"),
+        ratio.alias("zip_ratio"),
+    )
