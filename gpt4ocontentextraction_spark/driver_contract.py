@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from . import oracles
 from .functions import markers as mk
 from .operators import (
+    bpe,
     curation,
     dedup,
     embed,
@@ -1149,6 +1150,27 @@ def q_compression_signals(spark, sf_dir):
     analog, so this is a rows-only gate; tests/test_entropy.py pins the
     UDF against direct zlib calls and the repetitive<diverse ordering."""
     return textstats.compression_signals(_docs(spark, sf_dir))
+
+
+@register_extra("bpe_pair_counts", bpe.BPE_PAIR_COUNTS_SQL)
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE iteration-0 statistics: corpus-wide adjacent character-pair
+    counts over the word dictionary (end-of-word marker included),
+    top-k with the (count DESC, pair ASC) deterministic cut. One
+    corpus exchange (the word groupBy) + a dictionary-sized aggregate.
+    EXTRA (local-parity) gate; hand case in tests/test_bpe.py."""
+    return bpe.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register_extra("bpe_merges", None)
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    learned merge table over the corpus word dictionary — iterative
+    argmax + merge-fold, the k-means Lloyd loop shape. No SQL analog
+    for the iterative loop, so rows-only here; tests/test_bpe.py pins
+    the exact table against an independent pure-Python reference on
+    the hand corpus AND the real sf0.001 corpus."""
+    return bpe.bpe_learn(spark, _docs(spark, sf_dir))
 
 
 @register("embed_deterministic", embed.EMBED_SQL)

@@ -1,0 +1,238 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") — the
+tokenizer-construction step a pretraining data pipeline runs over the
+cleaned corpus before token counting, packing and budget mixing
+(reference analog: the tiktoken tokenizer imported at docker/main.py:32
+is the ARTIFACT this operator family produces).
+
+Scale shape: the only corpus-scale exchange is ONE map-side-combined
+groupBy collapsing the token stream to the (word, count) dictionary —
+BPE's classic trick: training never touches the corpus again, it runs
+on the dictionary, weighted by counts (web-scale corpora collapse ~1e12
+tokens to ~1e8 distinct words). Each merge iteration is then one
+dictionary-sized aggregate (adjacent-pair counts, map-side combinable)
+whose top-1 collect is a single row, plus one narrow fold projection
+applying the merge — the k-means Lloyd loop shape, with iteration state
+persisted and scope-released (cached.mark/release_since).
+
+Determinism: all counts are exact integers; the winning pair per
+iteration is (count DESC, left ASC, right ASC) — ties break
+lexicographically on the binary UTF-8 order both engines share — so the
+learned merge table is a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import cached
+
+END_OF_WORD = "</w>"  # Sennrich's end-of-word marker symbol
+BPE_TOPK = 20  # bpe_pair_counts gate cut
+BPE_MERGES = 8  # default merge budget for bpe_learn
+
+
+def _word_counts(docs: DataFrame) -> DataFrame:
+    """(w, cnt) word dictionary — the one corpus-scale exchange."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOPK) -> DataFrame:
+    """Iteration-0 BPE statistics: corpus-wide adjacent character-pair
+    counts over the word dictionary (each word contributes its pairs
+    times its corpus frequency; the last character pairs with the
+    end-of-word marker), cut to the top k by (count DESC, pair ASC).
+
+    The transform/sequence pair enumeration is a JVM projection over
+    the dictionary; the pair aggregate and the TakeOrderedAndProject
+    cut are both distributed — no window, no driver loop."""
+    wc = _word_counts(docs)
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> struct("
+                " substring(w, i, 1) AS l,"
+                f" CASE WHEN i < length(w) THEN substring(w, i + 1, 1)"
+                f" ELSE '{END_OF_WORD}' END AS r))"
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.l").alias("left"), F.col("p.r").alias("right")
+        )
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(k)
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH bw AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  WHERE text IS NOT NULL
+),
+bwc AS (SELECT w, count(*) AS cnt FROM bw WHERE length(w) > 0 GROUP BY w),
+bp AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS "left",
+         CASE WHEN i < length(w) THEN substr(w, CAST(i + 1 AS INT), 1)
+              ELSE '{END_OF_WORD}' END AS "right",
+         cnt
+  FROM bwc, unnest(range(1, length(w) + 1)) AS u(i)
+)
+SELECT "left", "right", CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM bp GROUP BY "left", "right"
+ORDER BY pair_count DESC, "left" ASC, "right" ASC LIMIT {BPE_TOPK}
+"""
+
+
+def _adjacent_pairs(words: DataFrame) -> DataFrame:
+    """(l, r, cnt-weighted pair count) over the symbol-array dictionary."""
+    return (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), i -> struct("
+                    " element_at(syms, i) AS l,"
+                    " element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def _merge_fold(left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) in the
+    syms array, as a single JVM fold — Column-lambda form (F.aggregate),
+    so arbitrary corpus symbols never pass through SQL string literals.
+    'aaaa' under (a,a) folds to [aa, aa], never [aa, aaa]: once a merge
+    fires, the merged symbol can't be the next step's left side."""
+    merged = left + right
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (
+            F.try_element_at(acc, F.lit(-1)) == F.lit(left)
+        ) & (s == F.lit(right))
+        return (
+            F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            )
+            # try_element_at(-1) on the empty initial acc is NULL (the
+            # strict form throws), so `hit` is NULL -> otherwise: plain
+            # append, no size() guard needed
+            .otherwise(F.concat(acc, F.array(s)))
+        )
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step
+    )
+
+
+def bpe_learn(spark, docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first n_merges BPE merges over the corpus. Returns the
+    merge table (rank, left, right, merged, pair_count) — bounded
+    driver-local rows, like the k-means centroid materialization; stops
+    early when no adjacent pair remains with count >= 2 (merging a
+    count-1 pair can never help a tokenizer).
+
+    No SQL oracle exists for the iterative argmax-retokenize loop, so
+    the gate is rows-only; tests/test_bpe.py pins the full table against
+    an independent pure-Python reference implementation (the Sennrich
+    pseudocode over a pandas-computed word dictionary) on both a hand
+    corpus and the real sf0.001 corpus."""
+    words = cached.track(
+        _word_counts(docs).select(
+            F.expr(
+                f"concat(split(w, ''), array('{END_OF_WORD}'))"
+            ).alias("syms"),
+            "cnt",
+        )
+    )
+    out = []
+    for rank in range(n_merges):
+        scope = cached.mark()
+        top = (
+            _adjacent_pairs(words)
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            cached.release_since(scope)
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        out.append((rank, l, r, l + r, c))
+        new_words = cached.track(
+            words.select(_merge_fold(l, r).alias("syms"), "cnt")
+        )
+        # materialize the fold into the new persist while the previous
+        # iteration's cache is still live, then drop ONLY that previous
+        # entry (the k-means scope discipline)
+        new_words.count()
+        cached.release_entry(words)
+        words = new_words
+    cached.release_entry(words)
+    return spark.createDataFrame(
+        out, "rank long, left string, right string, merged string,"
+        " pair_count long"
+    )
+
+
+def bpe_vocab_stats(spark, docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Tokenizer report after applying the learned merges to the corpus
+    dictionary: total words, total tokens (= symbols across the
+    dictionary weighted by word frequency), fertility (tokens per word,
+    floored 1e-4) and distinct-symbol vocabulary size — the
+    byte-per-token / fertility statistic that decides whether a
+    tokenizer fits a corpus. One dictionary-sized plan: the n_merges
+    folds chain over the persisted dictionary, then a single aggregate
+    (exact integer sums) plus a distinct count over exploded symbols."""
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn(spark, docs, n_merges).collect()
+    ]
+    words = _word_counts(docs).select(
+        F.expr(f"concat(split(w, ''), array('{END_OF_WORD}'))").alias("syms"),
+        "cnt",
+    )
+    for l, r in merges:
+        words = words.select(_merge_fold(l, r).alias("syms"), "cnt")
+    words = cached.track(words)
+    agg = words.agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("n_tokens"),
+    )
+    vocab = words.select(F.explode("syms").alias("s")).agg(
+        F.countDistinct("s").cast("long").alias("vocab_size")
+    )
+    res = agg.crossJoin(vocab).select(
+        "n_words",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double")
+                * 10000
+            )
+            / 10000
+        ).alias("fertility"),
+        "vocab_size",
+    )
+    rows = res.collect()
+    cached.release_entry(words)
+    return spark.createDataFrame(
+        rows, "n_words long, n_tokens long, fertility double, vocab_size long"
+    )

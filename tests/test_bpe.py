@@ -1,0 +1,150 @@
+"""Distributed BPE training pinned against an independent pure-Python
+reference (the Sennrich et al. 2016 pseudocode over a pandas word
+dictionary) on a hand corpus AND the real sf0.001 corpus; pair-count
+DuckDB parity runs in tests/test_oracle_parity.py via the EXTRA gate."""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow.parquet as pq
+
+from gpt4ocontentextraction_spark.operators import bpe as B
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- independent reference: dict-based greedy BPE (Sennrich alg. 1) -----
+
+
+def _ref_word_counts(texts):
+    wc = collections.Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    return wc
+
+
+def _ref_pairs(vocab):
+    pairs = collections.Counter()
+    for syms, cnt in vocab.items():
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += cnt
+    return pairs
+
+
+def _ref_merge(syms, pair, merged):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_bpe(texts, n_merges):
+    vocab = {
+        tuple(list(w) + [B.END_OF_WORD]): c
+        for w, c in _ref_word_counts(texts).items()
+    }
+    merges = []
+    for rank in range(n_merges):
+        pairs = _ref_pairs(vocab)
+        if not pairs:
+            break
+        # (count DESC, left ASC, right ASC) — the engine's tie-break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merged = l + r
+        merges.append((rank, l, r, merged, c))
+        vocab = {
+            _ref_merge(s, (l, r), merged): cnt for s, cnt in vocab.items()
+        }
+    return merges, vocab
+
+
+def _mk(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+HAND = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest",
+    "widest widest",
+    None,
+]
+
+
+def test_bpe_learn_matches_reference_hand(spark):
+    want, _ = _ref_bpe(HAND, 8)
+    got = [tuple(r) for r in B.bpe_learn(spark, _mk(spark, HAND), 8).collect()]
+    assert got == want
+    # the classic example learns 'est</w>' pieces: merged symbols grow
+    assert any(len(m[3]) > 2 for m in got)
+
+
+def test_bpe_merge_fold_greedy_nonoverlap(spark):
+    # 'aaaa' under (a,a) -> [aa, aa]; 'aaa' -> [aa, a]
+    merges, vocab = _ref_bpe(["aaaa aaa"], 1)
+    assert merges[0][1:4] == ("a", "a", "aa")
+    assert ("aa", "aa", B.END_OF_WORD) in vocab
+    assert ("aa", "a", B.END_OF_WORD) in vocab
+    got = [tuple(r) for r in B.bpe_learn(spark, _mk(spark, ["aaaa aaa"]), 1).collect()]
+    assert got == merges
+
+
+def test_bpe_stops_when_no_pair_repeats(spark):
+    # every adjacent pair unique -> count-1 max -> zero merges
+    df = _mk(spark, ["abc xyz"])
+    assert B.bpe_learn(spark, df, 5).count() == 0
+
+
+def test_bpe_learn_matches_reference_corpus(spark):
+    texts = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    want, _ = _ref_bpe(texts, B.BPE_MERGES)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = [tuple(r) for r in B.bpe_learn(spark, docs).collect()]
+    assert got == want
+    assert len(got) == B.BPE_MERGES  # real corpus sustains 8 merges
+
+
+def test_bpe_vocab_stats_matches_reference(spark):
+    texts = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    _, vocab = _ref_bpe(texts, B.BPE_MERGES)
+    n_words = sum(vocab.values())
+    n_tokens = sum(len(s) * c for s, c in vocab.items())
+    vocab_size = len({sym for s in vocab for sym in s})
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    r = B.bpe_vocab_stats(spark, docs).collect()[0]
+    assert r["n_words"] == n_words
+    assert r["n_tokens"] == n_tokens
+    assert r["vocab_size"] == vocab_size
+    import math
+
+    assert r["fertility"] == math.floor(n_tokens / n_words * 10000) / 10000
+    # merges only ever shrink the token stream
+    assert r["n_tokens"] <= sum((len(w) + 1) * c for w, c in
+                                _ref_word_counts(texts).items())
+
+
+def test_bpe_pair_counts_hand(spark):
+    # 'ab ab b' -> pairs: (a,b) x2, (b,</w>) x3
+    out = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in B.bpe_pair_counts(_mk(spark, ["ab ab b"])).collect()
+    }
+    assert out == {("a", "b"): 2, ("b", B.END_OF_WORD): 3}
