@@ -198,6 +198,10 @@ HEADLINE = (
     "snapshot_diff",
     "ccnet_buckets",
     "winnow_pairs",
+    "char_entropy",
+    "compression_signals",
+    "bpe_pair_counts",
+    "bpe_merges",
     "cosine_topk",
     "quantized_cosine_topk",
     "quantized_rerank_topk",
