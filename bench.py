@@ -199,6 +199,8 @@ HEADLINE = (
     "ccnet_buckets",
     "winnow_pairs",
     "char_entropy",
+    "shuffle_rank",
+    "shuffled_pack",
     "compression_signals",
     "bpe_pair_counts",
     "bpe_merges",

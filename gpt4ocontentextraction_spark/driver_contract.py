@@ -1162,6 +1162,23 @@ def q_bpe_pair_counts(spark, sf_dir):
     return bpe.bpe_pair_counts(_docs(spark, sf_dir))
 
 
+@register_extra("shuffle_rank", curation.SHUFFLE_RANK_SQL)
+def q_shuffle_rank(spark, sf_dir):
+    """Seeded deterministic corpus shuffle (MINSTD Lehmer permutation
+    key + two-phase global rank: balanced key-range blocks, no global
+    sort, no unpartitioned window). EXTRA (local-parity) gate;
+    permutation/balance cases in tests/test_shuffle.py."""
+    return curation.shuffle_rank(_docs(spark, sf_dir))
+
+
+@register_extra("shuffled_pack", curation.SHUFFLED_PACK_SQL)
+def q_shuffled_pack(spark, sf_dir):
+    """Sequence packing in shuffled epoch order — shuffle_rank composed
+    with the two-phase pack prefix sum in one lazy plan. EXTRA
+    (local-parity) gate; composition cases in tests/test_shuffle.py."""
+    return curation.shuffled_pack(_docs(spark, sf_dir))
+
+
 @register_extra("bpe_merges", None)
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): the

@@ -2156,3 +2156,154 @@ SELECT doc_id, n_tokens, start_offset,
     - start_offset // {PACK_SEQ_LEN} + 1 AS n_seqs
 FROM pm_off
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (seeded permutation rank) + shuffled packing
+# ---------------------------------------------------------------------------
+
+# Power permutation: x -> x^5 mod (2^31 - 1) is a bijection of
+# [0, 2^31-1) because gcd(5, p-1) = 1 (p-1 = 2*3^2*7*11*31*151*331 has
+# no factor 5), so shuffle keys are collision-free whenever doc_id <
+# 2^31-1; beyond that the pre-fold introduces rare collisions,
+# deterministically tie-broken by doc_id. A nonlinear map is REQUIRED
+# here: any affine key a*x+b mod p is order-preserving on contiguous
+# id blocks smaller than p/a (the first draft's MINSTD multiplier left
+# 0..44487 in identity order) and an arithmetic-progression lattice
+# beyond them; x^5 decorrelates adjacent ids everywhere. Every
+# intermediate ((p-1)^2 < 2^62) fits int64 on both engines.
+SHUFFLE_SEED = 12345  # pre-offset so doc 0 doesn't pin rank via key 0
+SHUFFLE_MOD = 2_147_483_647
+SHUFFLE_BLOCKS = 64  # key-range blocks for the two-phase global rank
+_SHUFFLE_SPAN = SHUFFLE_MOD // SHUFFLE_BLOCKS + 1
+
+
+def _shuffle_key_sql(doc_id_expr: str) -> str:
+    """x^5 mod p over the seeded fold — IDENTICAL text on both engines
+    (integer %, * only)."""
+    m = SHUFFLE_MOD
+    x = f"(({doc_id_expr} + {SHUFFLE_SEED}) % {m})"
+    x2 = f"({x} * {x} % {m})"
+    x4 = f"({x2} * {x2} % {m})"
+    return f"({x4} * {x} % {m})"
+
+
+def shuffle_rank(docs: DataFrame) -> DataFrame:
+    """Seeded deterministic corpus shuffle — the data-ORDER step a
+    pretraining pipeline runs before sequence packing (training
+    consumes documents in pseudorandom order, but the order must be a
+    reproducible pure function of the corpus so a resumed/re-run job
+    packs identical sequences). Returns (doc_id, shuffle_key,
+    shuffle_rank): rank 0 is the first document of the shuffled epoch.
+
+    Scale shape: no global sort and no unpartitioned window. The
+    power-permutation key is uniform, so FIXED key-range blocks are
+    balanced by construction; within-block ranks come from a block-partitioned
+    window and block offsets from a cumsum over the n_blocks aggregated
+    counts (broadcast back) — the pack_sequences two-phase device with
+    counts instead of token sums. The oracle is the flat ROW_NUMBER
+    spec."""
+    keyed = _docs_base(docs).select(
+        "doc_id",
+        F.expr(_shuffle_key_sql("doc_id")).alias("shuffle_key"),
+    ).withColumn("sblock", F.expr(f"shuffle_key DIV {_SHUFFLE_SPAN}"))
+    btot = keyed.groupBy("sblock").agg(F.count("*").alias("bn"))
+    wb = Window.orderBy("sblock").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "sblock", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("boff")
+    )
+    ww = Window.partitionBy("sblock").orderBy("shuffle_key", "doc_id")
+    within = keyed.withColumn("wrank", F.row_number().over(ww))
+    return (
+        within.join(F.broadcast(boff), "sblock")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("boff") + F.col("wrank") - 1).cast("long").alias(
+                "shuffle_rank"
+            ),
+        )
+    )
+
+
+SHUFFLE_RANK_SQL = f"""
+WITH shd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+shk AS (
+  SELECT doc_id, {_shuffle_key_sql("doc_id")} AS shuffle_key
+  FROM shd
+)
+SELECT doc_id, shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS shuffle_rank
+FROM shk
+"""
+
+
+def shuffled_pack(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """Sequence packing in SHUFFLED order — the composed data product:
+    documents are concatenated in shuffle_rank order (not doc_id order)
+    and chopped into fixed seq_len sequences. Same columns as
+    pack_sequences plus shuffle_rank; offsets/sequence ids now follow
+    the epoch order a trainer actually reads.
+
+    Composition stays one lazy plan: the rank relation joins the
+    per-doc token counts (both doc_id-keyed — co-partitioned after one
+    exchange), then _pack_over runs its two-phase prefix sum with
+    shuffle_rank as the ordering key."""
+    toks = _docs_base(docs).select(
+        F.col("doc_id").alias("real_doc_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    ranked = shuffle_rank(docs).select(
+        F.col("doc_id").alias("real_doc_id"), "shuffle_rank"
+    )
+    packed = _pack_over(
+        toks.join(ranked, "real_doc_id").select(
+            F.col("shuffle_rank").alias("doc_id"), "n_tokens"
+        ),
+        seq_len,
+    )
+    return packed.join(
+        toks.join(ranked, "real_doc_id").select(
+            F.col("shuffle_rank").alias("doc_id"), "real_doc_id"
+        ),
+        "doc_id",
+    ).select(
+        F.col("real_doc_id").alias("doc_id"),
+        F.col("doc_id").alias("shuffle_rank"),
+        "n_tokens",
+        "start_offset",
+        "first_seq",
+        "last_seq",
+        "n_seqs",
+    )
+
+
+SHUFFLED_PACK_SQL = f"""
+WITH spd AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+spk AS (
+  SELECT doc_id, n_tokens, {_shuffle_key_sql("doc_id")} AS shuffle_key
+  FROM spd
+),
+spr AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1
+           AS shuffle_rank
+  FROM spk
+),
+spo AS (
+  SELECT doc_id, shuffle_rank, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_rank
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM spr
+)
+SELECT doc_id, shuffle_rank, n_tokens, start_offset,
+  start_offset // {PACK_SEQ_LEN} AS first_seq,
+  (start_offset + n_tokens - 1) // {PACK_SEQ_LEN} AS last_seq,
+  (start_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+    - start_offset // {PACK_SEQ_LEN} + 1 AS n_seqs
+FROM spo
+"""
