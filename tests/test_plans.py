@@ -191,9 +191,14 @@ def test_no_registered_query_has_unpartitioned_window(spark):
         hierarchically, SCALE.md); the per-doc cumsum is partitioned.
       - vocab_coverage: the rank/cumulative window runs over the k-row
         top slice cut by TakeOrderedAndProject.
+      - shuffle_rank / shuffled_pack: same two-phase device — the
+        unpartitioned cumsum sees only the SHUFFLE_BLOCKS block totals;
+        the per-doc ranking window is block-partitioned
+        (tests/test_shuffle.py pins that shape directly).
     Adding a NEW gate with an unpartitioned window fails this test
     loudly instead of shipping a global sort. Plan construction only;
-    nothing executes beyond driver-side parameter fetches."""
+    nothing executes beyond driver-side parameter fetches (and
+    bpe_merges' bounded training loop, whose result is the plan)."""
     from gpt4ocontentextraction_spark.cached import release_all
     from gpt4ocontentextraction_spark.driver_contract import (
         EXTRA_QUERIES,
@@ -207,6 +212,8 @@ def test_no_registered_query_has_unpartitioned_window(spark):
         "pack_sequences",
         "pretraining_mix",
         "vocab_coverage",
+        "shuffle_rank",
+        "shuffled_pack",
     }
     allq = dict(QUERIES)
     allq.update(EXTRA_QUERIES)

@@ -96,3 +96,29 @@ def test_shuffled_pack_matches_flat_recompute(spark):
         assert r["last_seq"] == (off + toks[d] - 1) // C.PACK_SEQ_LEN
         off += toks[d]
     assert len(got) == len(order)
+
+
+def test_shuffle_rank_property_arbitrary_ids(spark):
+    """Hypothesis-style property over adversarial id sets (one Spark run
+    over the union for speed): ranks are a dense permutation and agree
+    with the Python-twin (key, doc_id) order — including ids >= 2^31-1
+    where the pre-fold makes keys collide and the doc_id tie-break must
+    decide."""
+    p = C.SHUFFLE_MOD
+    ids = sorted(
+        {0, 1, 2, p - 2, p - 1, p, p + 1, 2 * p, 2 * p + 1,
+         3_000_000_000, 2**40, 2**40 + p, 7, 48271, 2**62 // p * p}
+    )
+    df = spark.createDataFrame(
+        [(i, "x y", "en") for i in ids], "doc_id long, text string, lang string"
+    )
+    rows = C.shuffle_rank(df).collect()
+    assert sorted(r["shuffle_rank"] for r in rows) == list(range(len(ids)))
+    assert all(r["shuffle_key"] == _py_key(r["doc_id"]) for r in rows)
+    want = [d for _, d in sorted((_py_key(d), d) for d in ids)]
+    got = [r["doc_id"] for r in sorted(rows, key=lambda r: r["shuffle_rank"])]
+    assert got == want
+    # the p-fold collision actually occurs in this set (doc_id and
+    # doc_id + p share a key), so the tie-break is exercised
+    keys = [_py_key(d) for d in ids]
+    assert len(set(keys)) < len(ids)
