@@ -9,8 +9,11 @@ The container has no image/audio libraries, so synthetic payloads use a
 deterministic FAKE codec (documented below) for hermetic tests — but PNG
 (the reference's page-render format) decodes for REAL via the stdlib
 codec in functions/png.py (zlib inflate + scanline unfilter; no PIL):
-ingest/decode_features/resize operate on actual pixels for PNG blobs.
-Only non-PNG real codecs (JPEG/audio/video) remain stubbed in
+ingest/decode_features/resize operate on actual pixels for PNG blobs —
+as do BMP (functions/bmp.py) and GIF (functions/gif.py, stdlib LZW);
+animated GIF is a real multi-frame container, so frame sampling too
+runs on decoded pixels. Only codecs that genuinely need external
+libraries (JPEG/audio/video containers) remain stubbed in
 _decode_real. Everything Spark-side is real and tested: the binary
 column plumbing, schemas, batch shapes, UDF signatures, and the
 media_ref join from extracted `media` spans to this table (Q4 citation
@@ -180,6 +183,8 @@ def decode_features(media: DataFrame) -> DataFrame:
                 if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
                     px = dec["pixels"]
+                    if "frames" in dec:  # stats over ALL decoded frames
+                        px = np.stack(dec["frames"])
                     rows.append(
                         (
                             ref,
@@ -230,6 +235,7 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.bmp import encode_bmp, is_bmp
+        from ..functions.gif import encode_gif, is_gif
         from ..functions.png import encode_png, nearest_resize
 
         for pdf in batches:
@@ -238,8 +244,19 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
                 blob = bytes(blob)
                 if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
+                    # keep the source container: BMP stays BMP, GIF
+                    # stays GIF (every frame resized), else PNG
+                    if is_gif(blob):
+                        out.append(
+                            encode_gif(
+                                [
+                                    nearest_resize(f, new_width, new_height)
+                                    for f in dec["frames"]
+                                ]
+                            )
+                        )
+                        continue
                     px = nearest_resize(dec["pixels"], new_width, new_height)
-                    # keep the source container: BMP stays BMP, else PNG
                     out.append(
                         encode_bmp(px) if is_bmp(blob) else encode_png(px)
                     )
@@ -266,14 +283,29 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
-    """Explode video payloads into every-k-th frame rows."""
+    """Explode video payloads into every-k-th frame rows. Real
+    multi-frame containers (animated GIF) decode for real and each
+    sampled frame is re-emitted as a standalone PNG (the reference's
+    per-page image shape, docker/main.py:209-227); fake-codec payloads
+    keep the synthetic fixed-size-frame slicing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png
+
         for pdf in batches:
             refs, fnos, frames = [], [], []
             for ref, blob, n in zip(
                 pdf["media_ref"], pdf["data"], pdf["n_frames"]
             ):
+                blob = bytes(blob)
+                if not _is_fake_blob(blob):
+                    dec = _decode_real(blob)
+                    real = dec.get("frames", [dec["pixels"]])
+                    for f in range(0, len(real), every_k):
+                        refs.append(ref)
+                        fnos.append(f)
+                        frames.append(encode_png(real[f]))
+                    continue
                 payload = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_SIZE)
                 per = max(1, len(payload) // max(int(n), 1))
                 for f in range(0, int(n), every_k):
@@ -300,13 +332,30 @@ def _decode_real(blob: bytes) -> dict:
     {kind, mime, width, height, n_frames, pixels} where pixels is a
     (H, W, C) uint8 array.
 
-    Other real codecs (JPEG, audio, video containers) genuinely need
-    libraries this container lacks and still raise NotImplementedError —
-    callers must ROUTE the returned dict when decode succeeds, not
-    assume this raises (the r3 ADVICE fall-through)."""
+    GIF (functions/gif.py, stdlib LZW) is the real MULTI-FRAME
+    container: animated GIFs decode to a frame list (returned under
+    "frames", pixels = frame 0) and row as kind "video", so frame
+    sampling runs on actual pixels. Other real codecs (JPEG, audio,
+    video containers) genuinely need libraries this container lacks and
+    still raise NotImplementedError — callers must ROUTE the returned
+    dict when decode succeeds, not assume this raises (the r3 ADVICE
+    fall-through)."""
     from ..functions.bmp import decode_bmp, is_bmp
+    from ..functions.gif import decode_gif, is_gif
     from ..functions.png import decode_png, is_png
 
+    if is_gif(blob):
+        frames = decode_gif(blob)
+        h, w, _c = frames[0].shape
+        return {
+            "kind": "video" if len(frames) > 1 else "image",
+            "mime": "image/gif",
+            "width": int(w),
+            "height": int(h),
+            "n_frames": len(frames),
+            "pixels": frames[0],
+            "frames": frames,
+        }
     if is_png(blob):
         px = decode_png(blob)
         h, w, _c = px.shape
@@ -330,7 +379,7 @@ def _decode_real(blob: bytes) -> dict:
             "pixels": px,
         }
     raise NotImplementedError(
-        "only PNG and BMP real-codec decode is implemented (stdlib); "
+        "only PNG, BMP and GIF real-codec decode is implemented (stdlib); "
         "JPEG/audio/video need PIL/libav, not present in this environment"
     )
 
