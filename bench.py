@@ -204,6 +204,9 @@ HEADLINE = (
     "compression_signals",
     "bpe_pair_counts",
     "bpe_merges",
+    "bpe_encode",
+    "fix_mojibake",
+    "url_filter",
     "cosine_topk",
     "quantized_cosine_topk",
     "quantized_rerank_topk",

@@ -1190,6 +1190,43 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.bpe_learn(spark, _docs(spark, sf_dir))
 
 
+@register_extra("bpe_encode", bpe.BPE_ENCODE_SQL)
+def q_bpe_encode(spark, sf_dir):
+    """BPE APPLY — encode the corpus with a merge table (the fixed
+    causal gate table; the learned-table path is pinned in
+    tests/test_bpe.py against bpe_vocab_stats): per-doc subword stream
+    + token count, one Arrow-batched zero-shuffle projection with a
+    Zipf word cache. Oracle is an independent DuckDB construction
+    (nested list_reduce fold chain). EXTRA (local-parity) gate."""
+    return bpe.bpe_encode(_docs(spark, sf_dir))
+
+
+@register_extra("fix_mojibake", curation.FIX_MOJIBAKE_SQL)
+def q_fix_mojibake(spark, sf_dir):
+    """ftfy-style encoding repair over a deterministically
+    mojibake-seeded view: real Latin-1/UTF-8 JVM charset round-trip,
+    guarded to fire only on provably-lossless rows — seeded rows must
+    come back exactly clean (167 repairs at sf0.001), the mixed
+    mojibake+em-dash class must be refused, untouched rows pass
+    through. Oracle carries the codec-table ground truth. EXTRA
+    (local-parity) gate; guard/idempotence cases in
+    tests/test_curation.py."""
+    return curation.fix_mojibake(curation.seed_mojibake(_docs(spark, sf_dir)))
+
+
+@register_extra("url_filter", curation.URL_FILTER_SQL)
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb stage-1 URL curation over a deterministically seeded
+    (doc_id, url) view: domain blocklist (broadcast join), banned
+    binary extensions, badword scoring, canonicalization (lower host,
+    strip query/fragment) + canonical-URL dedup keeping min doc_id.
+    Spark parses with JVM parse_url, the oracle with regexes — two
+    independent URL parsers must agree. All five seeded classes fire at
+    sf0.001 (100 per reject class, 50 URL-dups). EXTRA (local-parity)
+    gate; class/dup cases in tests/test_curation.py."""
+    return curation.url_filter(curation.seed_urls(_docs(spark, sf_dir)))
+
+
 @register("embed_deterministic", embed.EMBED_SQL)
 def q_embed(spark, sf_dir):
     """M8: deterministic hash embedding, exploded to (doc_id, dim, val)."""

@@ -236,3 +236,141 @@ def bpe_vocab_stats(spark, docs: DataFrame, n_merges: int = BPE_MERGES) -> DataF
     return spark.createDataFrame(
         rows, "n_words long, n_tokens long, fertility double, vocab_size long"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE apply / encode (the tokenizer-APPLICATION step: train -> encode -> pack)
+# ---------------------------------------------------------------------------
+
+# Fixed, causal merge table for the oracle gate (every side exists when
+# its rank fires: e</w> from rank 0, th from rank 1). ASCII-only so the
+# generated SQL twin needs no literal escaping; the LEARNED-table path
+# is exercised by tests/test_bpe.py against bpe_vocab_stats.
+BPE_ENCODE_MERGES = [
+    ("e", END_OF_WORD),
+    ("t", "h"),
+    ("th", "e" + END_OF_WORD),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "r"),
+    ("in", "g"),
+    ("s", END_OF_WORD),
+]
+
+
+def _encode_word(word: str, merges) -> list:
+    """Apply the merge table to one word, rank order, greedy leftmost
+    non-overlapping per rank — exactly the training-time retokenization
+    (_merge_fold), so encode(corpus dictionary) reproduces the token
+    stream bpe_learn's final iteration saw."""
+    syms = list(word) + [END_OF_WORD]
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_encode_udf(merges):
+    """Arrow-batched whole-document encoder with a per-worker WORD cache:
+    Zipf's law makes the distinct-word set tiny relative to the token
+    stream (~1e8 words for ~1e12 tokens), so almost every word is a dict
+    hit — the same trick real tokenizers (tiktoken's LRU, tokenizers'
+    Rust cache) use. The cache is bounded; overflow clears it (refill is
+    cheap and correctness never depends on it)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merges = [tuple(m) for m in merges]
+    cache: dict = {}
+
+    @pandas_udf("n_tokens long, tokens string")
+    def enc(texts):
+        n_out, t_out = [], []
+        for t in texts.tolist():
+            if t is None:
+                n_out.append(None)
+                t_out.append(None)
+                continue
+            toks: list = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    if len(cache) > 1_000_000:
+                        cache.clear()
+                    got = _encode_word(w, merges)
+                    cache[w] = got
+                toks.extend(got)
+            n_out.append(len(toks))
+            t_out.append(" ".join(toks))
+        return pd.DataFrame({"n_tokens": n_out, "tokens": t_out})
+
+    return enc
+
+
+def bpe_encode(docs: DataFrame, merges=BPE_ENCODE_MERGES) -> DataFrame:
+    """Encode the corpus with a learned (or fixed) BPE merge table:
+    (doc_id, n_tokens, tokens) where tokens is the space-joined subword
+    stream (each word closed by </w>). The missing link between
+    bpe_learn (training) and pack_sequences / token_budget_mix
+    (consumers): real pipelines count and pack TOKENIZED lengths, not
+    whitespace words.
+
+    Scale shape: the merge table is a tiny driver-side constant closed
+    over by the UDF (a broadcast in spirit); the encode is ONE
+    Arrow-batched projection with zero shuffles, linear in corpus size,
+    and word-cache-accelerated (see _bpe_encode_udf)."""
+    enc = _bpe_encode_udf(merges)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", enc("text").alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.n_tokens").alias("n_tokens"),
+            F.col("e.tokens").alias("tokens"),
+        )
+    )
+
+
+def _bpe_word_sql(var: str, merges) -> str:
+    """DuckDB twin of _encode_word for an ASCII merge table: the
+    rank-order greedy-left merge as a chain of list_reduce folds
+    (first element seeds the accumulator; acc[:-2] drops exactly the
+    trailing element — DuckDB 1.0 slice semantics, probed)."""
+    expr = f"list_transform(string_split({var}, '') || ['{END_OF_WORD}'], s -> [s])"
+    for left, right in merges:
+        merged = left + right
+        expr = (
+            f"list_reduce({expr}, (acc, x) -> CASE WHEN acc[-1] = '{left}'"
+            f" AND x[1] = '{right}' THEN acc[:-2] || ['{merged}']"
+            f" ELSE acc || x END)"
+        )
+        expr = f"list_transform({expr}, s -> [s])"
+    return f"flatten({expr})"
+
+
+BPE_ENCODE_SQL = f"""
+WITH be AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         flatten(list_transform(
+           list_filter(string_split(text, ' '), w -> length(w) > 0),
+           w -> {_bpe_word_sql('w', BPE_ENCODE_MERGES)})) AS toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS tokens
+FROM be
+"""

@@ -2307,3 +2307,320 @@ SELECT doc_id, shuffle_rank, n_tokens, start_offset,
     - start_offset // {PACK_SEQ_LEN} + 1 AS n_seqs
 FROM spo
 """
+
+
+# ---------------------------------------------------------------------------
+# 18. Mojibake / encoding repair (ftfy-lite, the CCNet "fix encoding" step)
+# ---------------------------------------------------------------------------
+
+# Clean snippet of Latin-1-supplement letters and its mojibake form —
+# the UTF-8 bytes of the clean text re-decoded as Latin-1 (the classic
+# double-decode corruption web crawls carry). Computed once at import
+# from the codec tables, so the constant can never drift from the codec.
+MOJI_SNIPPET_CLEAN = " café naïve señor über façade très"
+MOJI_SNIPPET_BROKEN = MOJI_SNIPPET_CLEAN.encode("utf-8").decode("latin-1")
+# A row that mixes mojibake with a LEGITIMATE non-Latin-1 char (em dash
+# U+2014): Latin-1 re-encode would destroy the dash, so the repair guard
+# must refuse to touch it.
+MOJI_MIXED_BROKEN = " rules — but cafÃ© stays"
+# One mojibake lead byte followed by a Latin-1 continuation char: the
+# shape every UTF-8-as-Latin-1 two-byte sequence takes.
+MOJI_DETECT_RE = "\u00c3[\u0080-\u00bf]"
+
+
+def seed_mojibake(docs: DataFrame) -> DataFrame:
+    """Deterministic mojibake-seeded view for the repair gate (the
+    synthetic corpus is pure ASCII, where repair is a no-op). doc_id %
+    3 == 0 appends the BROKEN snippet (repair must recover the clean
+    form exactly); doc_id % 3 == 1 appends mojibake mixed with a real
+    em dash (the guard must refuse — re-encoding would corrupt the
+    dash); doc_id % 3 == 2 stays untouched (was_fixed must be 0)."""
+    did = F.col("doc_id").cast("long")
+    return docs.filter(F.col("text").isNotNull()).select(
+        did.alias("doc_id"),
+        F.when(
+            did % 3 == 0, F.concat(F.col("text"), F.lit(MOJI_SNIPPET_BROKEN))
+        )
+        .when(
+            did % 3 == 1, F.concat(F.col("text"), F.lit(MOJI_MIXED_BROKEN))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+# Chars the Latin-1 re-encode can represent (code points <= U+00FF).
+# Spark 4's strict charset `encode` THROWS (MALFORMED_CHARACTER_CODING)
+# on anything above instead of substituting '?', so this guard must
+# hold BEFORE the transcode runs (it sits inside the CASE WHEN).
+MOJI_LATIN1_SAFE_RE = "^[\\x00-\\xff]*$"
+# Full valid-UTF-8 grammar (RFC 3629) over the byte-mirrored chars: a
+# match guarantees the UTF-8 decode of the Latin-1 re-encode neither
+# errors under Spark 4's strict decode nor emits U+FFFD.
+MOJI_UTF8_VALID_RE = (
+    "^(?:[\\x00-\\x7f]"
+    "|[\\xc2-\\xdf][\\x80-\\xbf]"
+    "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]"
+    "|[\\xe1-\\xec][\\x80-\\xbf]{2}"
+    "|\\xed[\\x80-\\x9f][\\x80-\\xbf]"
+    "|[\\xee-\\xef][\\x80-\\xbf]{2}"
+    "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}"
+    "|[\\xf1-\\xf3][\\x80-\\xbf]{3}"
+    "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{2})*$"
+)
+
+
+def fix_mojibake(docs: DataFrame) -> DataFrame:
+    """ftfy-style encoding repair: detect UTF-8-read-as-Latin-1 mojibake
+    and invert it with a REAL transcode — ``decode(encode(text,
+    'ISO-8859-1'), 'UTF-8')``, both JVM built-ins — guarded so only
+    provably-lossless repairs apply. Spark 4's charset functions are
+    STRICT — they throw on unmappable input rather than substituting —
+    so both guards are regex PROOFS evaluated before the transcode,
+    which runs lazily inside the CASE WHEN branch:
+
+    - detect: text matches the mojibake lead-byte pattern (Ã followed
+      by a continuation-range char);
+    - lossless-encode guard: every char is <= U+00FF
+      (MOJI_LATIN1_SAFE_RE), so the Latin-1 re-encode is exact — a row
+      mixing real Unicode (em dash) with mojibake fails it and is
+      refused (ftfy's fix-only-if-certain stance);
+    - valid-decode guard: the byte-mirrored chars match the full RFC
+      3629 UTF-8 grammar (MOJI_UTF8_VALID_RE), so the decode can
+      neither error nor emit U+FFFD — a stray lead/continuation byte
+      is refused.
+
+    Returns (doc_id, fixed, was_fixed, n_chars_before, n_chars_after).
+    Scale shape: a pure JVM projection (regexp test + charset
+    round-trip), zero shuffles, composes into the curation scan next to
+    normalize_text/pii_redact. One pass (double-encoded mojibake needs
+    iteration-to-fixpoint; run the operator twice for that)."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("text").isNotNull())
+    text = F.col("text")
+    was_fixed = (
+        text.rlike(MOJI_DETECT_RE)
+        & text.rlike(MOJI_LATIN1_SAFE_RE)
+        & text.rlike(MOJI_UTF8_VALID_RE)
+    )
+    fixed = F.when(
+        was_fixed, F.decode(F.encode(text, "ISO-8859-1"), "UTF-8")
+    ).otherwise(text)
+    return base.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        was_fixed.cast("long").alias("was_fixed"),
+        F.length(text).cast("long").alias("n_chars_before"),
+        F.length(fixed).cast("long").alias("n_chars_after"),
+    )
+
+
+def seed_mojibake_cte(src: str = "documents", out: str = "mjdocs") -> str:
+    """SQL twin of seed_mojibake, carrying the clean ground truth."""
+    return f"""{out} AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{MOJI_SNIPPET_BROKEN}'
+              WHEN doc_id % 3 = 1 THEN text || '{MOJI_MIXED_BROKEN}'
+              ELSE text END AS text,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{MOJI_SNIPPET_CLEAN}'
+              WHEN doc_id % 3 = 1 THEN text || '{MOJI_MIXED_BROKEN}'
+              ELSE text END AS expected
+  FROM {src} WHERE text IS NOT NULL
+)"""
+
+
+# The oracle states the REPAIR CONTRACT over the seeded view: seeded
+# mojibake rows come back exactly clean (the snippet constants were
+# derived through Python's codec tables; the engine runs the JVM
+# charset round-trip — two independent implementations must agree),
+# mixed rows and untouched rows pass through byte-identical.
+FIX_MOJIBAKE_SQL = f"""
+WITH {seed_mojibake_cte()}
+SELECT doc_id, expected AS fixed,
+       CAST(doc_id % 3 = 0 AS BIGINT) AS was_fixed,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(expected) AS BIGINT) AS n_chars_after
+FROM mjdocs
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. URL filtering (RefinedWeb stage 1: blocklist / score / canonical dedup)
+# ---------------------------------------------------------------------------
+
+URL_BLOCKLIST = ["spam-mirror.biz", "link-farm.net"]
+URL_BANNED_EXT_RE = r"\.(exe|zip|rar|apk|dmg|iso)$"
+URL_BADWORDS = ["casino", "gambling", "bonus-codes"]
+
+
+def seed_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic (doc_id, url) view for the URL-filter gate (the
+    corpus has a `source` but no URL column). Five classes by doc_id %
+    5: 0 = clean article URL on the source's host; 1 = blocklisted
+    domain; 2 = banned binary extension; 3 = badword path tokens; 4 =
+    clean content behind tracking params + mixed-case host + fragment —
+    and within class 4, doc_id % 10 == 9 repeats the path of doc_id-5,
+    so canonicalization must expose the pair as URL duplicates."""
+    did = F.col("doc_id").cast("long")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    m5 = did % 5
+    path_id = F.when(did % 10 == 9, did - 5).otherwise(did)
+    return docs.select(
+        did.alias("doc_id"),
+        F.when(
+            m5 == 0,
+            F.concat(F.lit("https://"), host, F.lit("/articles/"), did),
+        )
+        .when(
+            m5 == 1,
+            F.concat(
+                F.lit("https://spam-mirror.biz/mirror/"), did
+            ),
+        )
+        .when(
+            m5 == 2,
+            F.concat(F.lit("https://"), host, F.lit("/files/"), did,
+                     F.lit(".exe")),
+        )
+        .when(
+            m5 == 3,
+            F.concat(F.lit("https://"), host,
+                     F.lit("/casino-gambling/"), did),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://Dup.Example.COM/posts/"), path_id,
+                F.lit("?utm_source=feed&utm_medium=rss#frag"),
+            )
+        )
+        .alias("url"),
+    )
+
+
+def url_filter(urls: DataFrame) -> DataFrame:
+    """RefinedWeb-style URL-level curation (Penedo et al. 2023 §3.1),
+    the cheapest filter in the pipeline because it runs BEFORE any
+    fetch/extract work:
+
+    - parse host/path with Spark's JVM ``parse_url`` (the DuckDB oracle
+      re-derives them with regexes — two independent URL parsers must
+      agree on the seeded corpus);
+    - reject by blocklisted domain (tiny broadcast join — the real
+      artifact is ~5M domains, still broadcast-sized), banned binary
+      extension, or badword hits scored over the full URL;
+    - canonicalize (lowercased host, path only — query/fragment
+      dropped) and dedup by canonical URL, keeping the smallest doc_id.
+
+    Returns (doc_id, url, host, norm_url, n_badwords, reject_reason,
+    is_dup, keep). Scale shape: one projection + a broadcast blocklist
+    join + ONE exchange on norm_url (partitioned window min — group
+    sizes are per-URL, bounded); composes before the extraction scan so
+    rejected URLs are never fetched."""
+    spark = urls.sparkSession
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    badhits = None
+    for w in URL_BADWORDS:
+        hit = F.lower(F.col("url")).contains(F.lit(w)).cast("long")
+        badhits = hit if badhits is None else badhits + hit
+    block = spark.createDataFrame(
+        [(d,) for d in URL_BLOCKLIST], "bad_host string"
+    )
+    base = (
+        urls.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "url",
+            host.alias("host"),
+            F.concat(F.lit("https://"), host, path).alias("norm_url"),
+            badhits.alias("n_badwords"),
+            path.alias("_path"),
+        )
+        .join(
+            F.broadcast(block),
+            F.col("host") == F.col("bad_host"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "url",
+            "host",
+            "norm_url",
+            "n_badwords",
+            F.when(F.col("bad_host").isNotNull(), F.lit("blocklist"))
+            .when(
+                F.col("_path").rlike(URL_BANNED_EXT_RE), F.lit("extension")
+            )
+            .when(F.col("n_badwords") > 0, F.lit("badwords"))
+            .alias("reject_reason"),
+        )
+    )
+    w_url = Window.partitionBy("norm_url")
+    keeper = F.min("doc_id").over(w_url)
+    return base.select(
+        "doc_id",
+        "url",
+        "host",
+        "norm_url",
+        "n_badwords",
+        "reject_reason",
+        (F.col("doc_id") != keeper).cast("long").alias("is_dup"),
+        (
+            F.col("reject_reason").isNull() & (F.col("doc_id") == keeper)
+        ).cast("long").alias("keep"),
+    )
+
+
+def seed_urls_cte(src: str = "documents", out: str = "udocs") -> str:
+    """SQL twin of seed_urls."""
+    return f"""{out} AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'https://' || source || '.example.com/articles/' || doc_id
+              WHEN doc_id % 5 = 1
+              THEN 'https://spam-mirror.biz/mirror/' || doc_id
+              WHEN doc_id % 5 = 2
+              THEN 'https://' || source || '.example.com/files/' || doc_id
+                   || '.exe'
+              WHEN doc_id % 5 = 3
+              THEN 'https://' || source || '.example.com/casino-gambling/'
+                   || doc_id
+              ELSE 'HTTPS://Dup.Example.COM/posts/'
+                   || CASE WHEN doc_id % 10 = 9 THEN doc_id - 5
+                           ELSE doc_id END
+                   || '?utm_source=feed&utm_medium=rss#frag' END AS url
+  FROM {src}
+)"""
+
+
+URL_FILTER_SQL = f"""
+WITH {seed_urls_cte()},
+uparse AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         CAST({" + ".join(
+            f"CASE WHEN contains(lower(url), '{w}') THEN 1 ELSE 0 END"
+            for w in URL_BADWORDS
+         )} AS BIGINT) AS n_badwords
+  FROM udocs
+),
+uflag AS (
+  SELECT doc_id, url, host,
+         'https://' || host || path AS norm_url,
+         n_badwords,
+         CASE WHEN host IN ({", ".join(f"'{d}'" for d in URL_BLOCKLIST)})
+              THEN 'blocklist'
+              WHEN regexp_matches(path, '{URL_BANNED_EXT_RE}')
+              THEN 'extension'
+              WHEN n_badwords > 0 THEN 'badwords' END AS reject_reason
+  FROM uparse
+)
+SELECT doc_id, url, host, norm_url, n_badwords, reject_reason,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY norm_url) AS BIGINT)
+         AS is_dup,
+       CAST(reject_reason IS NULL
+            AND doc_id = MIN(doc_id) OVER (PARTITION BY norm_url)
+            AS BIGINT) AS keep
+FROM uflag
+"""

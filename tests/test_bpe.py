@@ -148,3 +148,80 @@ def test_bpe_pair_counts_hand(spark):
         for r in B.bpe_pair_counts(_mk(spark, ["ab ab b"])).collect()
     }
     assert out == {("a", "b"): 2, ("b", B.END_OF_WORD): 3}
+
+
+# --- BPE apply / encode -------------------------------------------------
+
+
+def _ref_encode_doc(text, merges):
+    toks = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = tuple(list(w) + [B.END_OF_WORD])
+        for l, r in merges:
+            syms = _ref_merge(syms, (l, r), l + r)
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_encode_hand_words(spark):
+    # rank-order application through the fixed causal table
+    assert B._encode_word("the", B.BPE_ENCODE_MERGES) == ["the</w>"]
+    assert B._encode_word("thing", B.BPE_ENCODE_MERGES) == [
+        "th", "ing", "</w>"]
+    assert B._encode_word("a", B.BPE_ENCODE_MERGES) == ["a", "</w>"]
+    # s</w> fires on the FINAL s only; an/or fire mid-word
+    assert B._encode_word("sans", B.BPE_ENCODE_MERGES) == ["s", "an", "s</w>"]
+
+
+def test_bpe_encode_matches_reference_corpus(spark):
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ref = {
+        int(d): _ref_encode_doc(t, B.BPE_ENCODE_MERGES)
+        for d, t in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        )
+        if t is not None
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in B.bpe_encode(docs).collect()
+    }
+    assert set(got) == set(ref)
+    for d, toks in ref.items():
+        assert got[d] == (len(toks), " ".join(toks)), d
+
+
+def test_bpe_encode_learned_table_reproduces_training_stream(spark):
+    """Encoding the corpus with the LEARNED merge table must yield
+    exactly the token count bpe_vocab_stats reports — apply (Arrow
+    scan-merge kernel) and training retokenization (JVM _merge_fold
+    chain) are independent implementations of the same greedy fold."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = [
+        (r["left"], r["right"]) for r in B.bpe_learn(spark, docs).collect()
+    ]
+    enc = B.bpe_encode(docs, merges)
+    total = enc.groupBy().sum("n_tokens").collect()[0][0]
+    stats = B.bpe_vocab_stats(spark, docs).collect()[0]
+    assert total == stats["n_tokens"]
+    # and the encoded symbol vocabulary matches the trained one
+    from pyspark.sql import functions as F
+
+    vocab = (
+        enc.select(F.explode(F.split("tokens", " ")).alias("s"))
+        .agg(F.countDistinct("s"))
+        .collect()[0][0]
+    )
+    assert vocab == stats["vocab_size"]
+
+
+def test_bpe_encode_null_and_empty(spark):
+    df = _mk(spark, ["", "  ", None, "ab"])
+    got = {r["doc_id"]: r for r in B.bpe_encode(df).collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[0]["n_tokens"] == 0 and got[0]["tokens"] == ""
+    assert got[1]["n_tokens"] == 0
+    assert got[3]["tokens"] == "a b </w>"

@@ -569,3 +569,116 @@ def test_pretraining_mix_is_subset_of_funnel_survivors(spark):
         .collect()
     }
     assert mix_ids <= kept
+
+
+# --- mojibake / encoding repair -----------------------------------------
+
+
+def test_fix_mojibake_real_transcode_recovers_clean(spark):
+    broken = "caf" + C.MOJI_SNIPPET_BROKEN[4:6]  # 'cafÃ©' via the codec table
+    rows = [(1, "x " + C.MOJI_SNIPPET_BROKEN.strip()), (2, "plain ascii")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.fix_mojibake(df).collect()}
+    assert out[1]["fixed"] == "x " + C.MOJI_SNIPPET_CLEAN.strip()
+    assert out[1]["was_fixed"] == 1
+    assert out[1]["n_chars_after"] < out[1]["n_chars_before"]
+    assert out[2]["fixed"] == "plain ascii" and out[2]["was_fixed"] == 0
+    assert len(broken) == 5  # sanity: the slice really is 'cafÃ©'
+
+
+def test_fix_mojibake_guard_refuses_lossy_rows(spark):
+    # mixing mojibake with a char Latin-1 can't encode (em dash) must
+    # leave the row untouched — the '?' count guard
+    rows = [
+        (1, "a " + C.MOJI_MIXED_BROKEN.strip()),
+        # lone mojibake lead byte followed by ASCII: invalid UTF-8
+        # bytes after re-encode -> U+FFFD guard refuses
+        (2, "abc Ã© ok Ã¿t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.fix_mojibake(df).collect()}
+    assert out[1]["fixed"] == rows[0][1] and out[1]["was_fixed"] == 0
+    # row 2 is genuinely repairable mojibake ('é', 'ÿ' both Latin-1);
+    # it must be FIXED (the detect+guards allow it)
+    assert out[2]["was_fixed"] == 1
+    assert out[2]["fixed"] == "abc é ok ÿt"
+
+
+def test_fix_mojibake_invalid_bytes_guard(spark):
+    # 'Ã' then a >U+00FF char: re-encode turns the char into '?', the
+    # latin1-safe guard refuses; 'Ã' then ASCII never matches the detect RE
+    rows = [(1, "bad Ã— tail"), (2, "bare Ãx tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in C.fix_mojibake(df).collect()}
+    assert out[1]["was_fixed"] == 0 and out[1]["fixed"] == rows[0][1]
+    assert out[2]["was_fixed"] == 0 and out[2]["fixed"] == rows[1][1]
+
+
+def test_fix_mojibake_idempotent_and_seeded_classes(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seeded = C.seed_mojibake(docs)
+    out = C.fix_mojibake(seeded)
+    rows = out.collect()
+    import pyspark.sql.functions as F
+
+    by_cls = {0: [], 1: [], 2: []}
+    for r in rows:
+        by_cls[r["doc_id"] % 3].append(r)
+    assert all(r["was_fixed"] == 1 for r in by_cls[0])
+    assert all(r["fixed"].endswith(C.MOJI_SNIPPET_CLEAN) for r in by_cls[0])
+    assert all(r["was_fixed"] == 0 for r in by_cls[1])
+    assert all(r["was_fixed"] == 0 for r in by_cls[2])
+    # idempotence: repairing the repaired corpus changes nothing
+    again = C.fix_mojibake(out.select("doc_id", F.col("fixed").alias("text")))
+    assert again.filter(F.col("was_fixed") != 0).count() == 0
+
+
+# --- URL filtering ------------------------------------------------------
+
+
+def test_url_filter_classes_and_dedup(spark):
+    rows = [
+        (10, "https://src0.example.com/articles/10"),          # clean
+        (11, "https://spam-mirror.biz/mirror/11"),             # blocklist
+        (12, "https://src0.example.com/files/12.exe"),         # extension
+        (13, "https://src0.example.com/casino-gambling/13"),   # badwords
+        (14, "HTTPS://Dup.Example.COM/posts/14?utm_source=f#x"),
+        (19, "HTTPS://Dup.Example.COM/posts/14?utm_medium=r"),  # dup of 14
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in C.url_filter(df).collect()}
+    assert out[10]["reject_reason"] is None and out[10]["keep"] == 1
+    assert out[11]["reject_reason"] == "blocklist"
+    assert out[12]["reject_reason"] == "extension"
+    assert out[13]["reject_reason"] == "badwords"
+    assert out[13]["n_badwords"] == 2  # casino + gambling
+    # canonicalization: host lowered, query/fragment stripped
+    assert out[14]["norm_url"] == "https://dup.example.com/posts/14"
+    assert out[14]["norm_url"] == out[19]["norm_url"]
+    assert out[14]["is_dup"] == 0 and out[14]["keep"] == 1
+    assert out[19]["is_dup"] == 1 and out[19]["keep"] == 0
+
+
+def test_url_filter_rejected_dup_never_keeps(spark):
+    # a rejected URL that is ALSO the canonical keeper must not keep
+    rows = [
+        (1, "https://spam-mirror.biz/x"),
+        (2, "https://spam-mirror.biz/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in C.url_filter(df).collect()}
+    assert out[1]["keep"] == 0 and out[2]["keep"] == 0
+    assert out[1]["is_dup"] == 0 and out[2]["is_dup"] == 1
+
+
+def test_url_filter_seeded_corpus_counts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = C.url_filter(C.seed_urls(docs))
+    agg = out.groupBy("reject_reason").count().collect()
+    got = {r["reject_reason"]: r["count"] for r in agg}
+    assert got["blocklist"] == 100
+    assert got["extension"] == 100
+    assert got["badwords"] == 100
+    assert got[None] == 200
+    assert out.filter(F.col("is_dup") == 1).count() == 50
+    assert out.filter(F.col("keep") == 1).count() == 150
