@@ -156,6 +156,7 @@ def _sample_steal(sec: float = 2.0) -> float | None:
 HEADLINE = (
     "extract_spans",
     "extract_spans_pyscan",
+    "extract_spans_html",
     "merge_markdown",
     "page_chunks",
     "markdown_chunks",

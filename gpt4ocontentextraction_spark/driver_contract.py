@@ -32,6 +32,7 @@ from .operators import (
 )
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
+from .operators.html import HTML_RENDER_SQL, html_to_spans, spans_to_html
 from .operators.merge import merge_markdown
 from .spanify import SPANIFY_SQL, spanify, spanify_exploded
 from .streaming import windows as _win
@@ -199,6 +200,51 @@ def q_extract_spans_pyscan(spark, sf_dir):
     from .sources.pyscan import extract_scan
 
     return _spans_out(extract_scan(spark, _pyscan_spans_dir(spark, sf_dir)))
+
+
+@register_extra(
+    "html_render",
+    f"WITH {SPANIFY_SQL}, {HTML_RENDER_SQL}"
+    " SELECT doc_id, html FROM html_rendered",
+)
+def q_html_render(spark, sf_dir):
+    """Canonical spans->HTML renderer (operators/html.py): one block
+    element per span in offset order, entity-escaped — checked
+    bit-for-bit against the DuckDB string_agg reproduction. Reference
+    analog: the HTML leg of doc2md_utils.py:120-151."""
+    return spans_to_html(spanify(_docs(spark, sf_dir)))
+
+
+@register_extra(
+    "html_roundtrip",
+    f'WITH {SPANIFY_SQL} SELECT doc_id, kind, text, media_ref,'
+    f' CAST("offset" AS BIGINT) AS offset FROM spanified',
+)
+def q_html_roundtrip(spark, sf_dir):
+    """HTML parser gate: render the spanify corpus to real markup, parse
+    it back (tag->kind, attribute pulls, entity decode, <td> cell
+    re-join) and require exact equality with the spanify relation — the
+    parser must invert the renderer on every document. Both directions
+    are single JVM projections (no shuffle, no Python; plan pinned in
+    tests/test_html.py)."""
+    return _spans_out(
+        html_to_spans(spans_to_html(spanify(_docs(spark, sf_dir))))
+    )
+
+
+@register_extra(
+    "extract_spans_html",
+    f'WITH {oracles.EXTRACT_SQL} SELECT doc_id, kind, text, media_ref,'
+    f' CAST("offset" AS BIGINT) AS offset FROM extracted',
+)
+def q_extract_spans_html(spark, sf_dir):
+    """M5 via the raw-HTML front end: markup -> spans -> densitometric
+    extraction kernel, against the same EXTRACT_SQL oracle as
+    extract_spans — the full HTML->markdown pipeline the north star
+    describes (boilerplate tags + link/text-density scoring)."""
+    return _spans_out(
+        extract(html_to_spans(spans_to_html(spanify(_docs(spark, sf_dir)))))
+    )
 
 
 @register(
@@ -1471,18 +1517,24 @@ _EXTRACT_BASE_SQL = (
     "extract_spans_variants",
     f"WITH {oracles.EXTRACT_SQL}, base AS ({_EXTRACT_BASE_SQL})"
     " SELECT base.*, 'pyscan' AS variant FROM base"
-    " UNION ALL SELECT base.*, 'skew' AS variant FROM base",
+    " UNION ALL SELECT base.*, 'skew' AS variant FROM base"
+    " UNION ALL SELECT base.*, 'html' AS variant FROM base",
 )
 def q_extract_spans_variants(spark, sf_dir):
     """M5 alternate paths in one gate: the fused Python-native scan
-    (sources/pyscan.py) and the skew-defused page-range sharding
-    (operators/skew.py), each labeled and checked against the same
-    EXTRACT_SQL oracle as the classic extract_spans."""
+    (sources/pyscan.py), the skew-defused page-range sharding
+    (operators/skew.py), and the raw-HTML front end (operators/html.py —
+    render the corpus to markup, parse it back, extract), each labeled
+    and checked against the same EXTRACT_SQL oracle as the classic
+    extract_spans."""
     py = q_extract_spans_pyscan(spark, sf_dir).withColumn(
         "variant", F.lit("pyscan")
     )
     sk = q_extract_skew(spark, sf_dir).withColumn("variant", F.lit("skew"))
-    return py.unionByName(sk)
+    hm = q_extract_spans_html(spark, sf_dir).withColumn(
+        "variant", F.lit("html")
+    )
+    return py.unionByName(sk).unionByName(hm)
 
 
 _PAGE_CHUNKS_BASE_SQL = (
