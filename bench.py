@@ -157,6 +157,7 @@ HEADLINE = (
     "extract_spans",
     "extract_spans_pyscan",
     "extract_spans_html",
+    "extract_spans_layout",
     "merge_markdown",
     "page_chunks",
     "markdown_chunks",

@@ -32,6 +32,8 @@ from .operators import (
 )
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
+from .operators import layout as _layout
+from .operators import structured as _structured
 from .operators.html import HTML_RENDER_SQL, html_to_spans, spans_to_html
 from .operators.merge import merge_markdown
 from .spanify import SPANIFY_SQL, spanify, spanify_exploded
@@ -244,6 +246,64 @@ def q_extract_spans_html(spark, sf_dir):
     describes (boilerplate tags + link/text-density scoring)."""
     return _spans_out(
         extract(html_to_spans(spans_to_html(spanify(_docs(spark, sf_dir)))))
+    )
+
+
+@register_extra(
+    "layoutify",
+    f"WITH {_layout.LAYOUTIFY_SQL} SELECT doc_id, block_idx, page,"
+    " x0, x1, y0, y1, text FROM layout_blocks",
+)
+def q_layoutify(spark, sf_dir):
+    """Deterministic flat-docs -> layout-blocks bridge (the geometry
+    analog of spanify): bounding-boxed blocks in three page templates
+    (single / two-column / mixed) on a 612pt letter page."""
+    return _layout.layoutify_exploded(_docs(spark, sf_dir))
+
+
+@register_extra(
+    "layout_columns",
+    f'WITH {_layout.LAYOUT_COLUMNS_SQL} SELECT doc_id, block_idx, page,'
+    ' "column", CAST(reading_rank AS BIGINT) AS reading_rank'
+    " FROM layout_cols",
+)
+def q_layout_columns(spark, sf_dir):
+    """Coordinate-based column detection + reading order (the north
+    star's 'PDF layout parsing with column detection'): midline split at
+    306pt, order (page, full-width, left col, right col, y, x). One
+    array-sort per document inside a projection — zero shuffle."""
+    return _layout.layout_columns(_layout.layoutify(_docs(spark, sf_dir)))
+
+
+@register_extra(
+    "extract_spans_layout",
+    f"WITH {oracles.extract_sql_over(_layout.LAYOUT_SPANS_SQL)}"
+    ' SELECT doc_id, kind, text, media_ref, CAST("offset" AS BIGINT)'
+    " AS offset FROM extracted",
+)
+def q_extract_spans_layout(spark, sf_dir):
+    """Coordinates -> markdown end-to-end: detected layout lowered to
+    the kernel's span vocabulary (page_break per page) and run through
+    the SAME extraction kernel; the oracle instantiates the kernel spec
+    over the layout-derived spanified relation
+    (oracles.extract_sql_over)."""
+    return _spans_out(
+        extract(_layout.layout_to_spans(_layout.layoutify(_docs(spark, sf_dir))))
+    )
+
+
+@register_extra(
+    "table_cells",
+    f"WITH {oracles.EXTRACT_SQL}, {_structured.TABLE_CELLS_SQL}"
+    " SELECT doc_id, tbl_offset, row_idx, col_idx, cell FROM table_cells",
+)
+def q_table_cells(spark, sf_dir):
+    """Structured inverse of the kernel's pipe-table reconstruction:
+    every extracted markdown table as (doc_id, tbl_offset, row_idx,
+    col_idx, cell) rows — header row 0, separator dropped. Narrow
+    generator projections on top of the extraction pass (no shuffle)."""
+    return _structured.table_cells(
+        _spans_out(extract(spanify(_docs(spark, sf_dir))))
     )
 
 
@@ -1158,6 +1218,14 @@ def q_quality(spark, sf_dir):
 def q_token_counts(spark, sf_dir):
     """Whitespace + BPE-ish regex token counts (F10)."""
     return textstats.token_counts(_docs(spark, sf_dir))
+
+
+@register_extra("readability", textstats.READABILITY_SQL)
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade (vowel-group syllables, terminal
+    punctuation sentences) — classic corpus-quality surface signals,
+    one JVM projection."""
+    return textstats.readability(_docs(spark, sf_dir))
 
 
 @register_extra("token_quantiles", textstats.TOKEN_QUANTILES_SQL)

@@ -145,6 +145,54 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic surface-statistics readability pair, a standard quality
+    signal for corpus filtering. Syllables via the vowel-group
+    heuristic (maximal [aeiouy]+ runs), sentences via terminal
+    punctuation (floored at 1). Pure JVM regexp/arith projection, no
+    shuffle; float outputs floored at 1e-4 so both engines' IEEE
+    doubles hash identically."""
+    words = F.size(F.split("text", " ")).cast("double")
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), F.lit(0))),
+    ).cast("double")
+    syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("double")
+    flesch = 206.835 - 1.015 * (words / sents) - 84.6 * (syll / words)
+    fk = 0.39 * (words / sents) + 11.8 * (syll / words) - 15.59
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sents"),
+        syll.cast("long").alias("n_syllables"),
+        (F.floor(flesch * 10000) / 10000).alias("flesch"),
+        (F.floor(fk * 10000) / 10000).alias("fk_grade"),
+    )
+
+
+READABILITY_SQL = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS DOUBLE) AS s,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y
+  FROM documents
+)
+SELECT doc_id,
+  CAST(w AS BIGINT) AS n_words,
+  CAST(s AS BIGINT) AS n_sents,
+  CAST(y AS BIGINT) AS n_syllables,
+  floor((206.835 - 1.015 * (w / s) - 84.6 * (y / w)) * 10000) / 10000
+    AS flesch,
+  floor((0.39 * (w / s) + 11.8 * (y / w) - 15.59) * 10000) / 10000
+    AS fk_grade
+FROM f
+"""
+
+
 TOKEN_COUNTS_SQL = f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

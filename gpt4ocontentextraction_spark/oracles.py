@@ -13,9 +13,14 @@ from .spanify import SPANIFY_SQL
 
 # Steps 1-3 of the kernel: offset sort, page segmentation (exclusive running
 # count of page_breaks), reading-order rank (other=0, left=1, right=2,
-# page_break=3), one resolved sequence number per span.
-RESOLVED_SQL = f"""
-{SPANIFY_SQL},
+# page_break=3), one resolved sequence number per span. The chain is
+# parameterized over the input CTE block (anything exposing
+# `spanified(doc_id, kind, text, media_ref, "offset")`), so alternate front
+# ends (e.g. the coordinate-layout pipeline, operators/layout.py) reuse the
+# same kernel spec; the default instantiation is the spanify corpus.
+def resolved_sql_over(input_cte: str) -> str:
+    return f"""
+{input_cte},
 paged AS (
   SELECT *,
     COALESCE(SUM(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
@@ -32,12 +37,14 @@ resolved AS (
 )
 """
 
+RESOLVED_SQL = resolved_sql_over(SPANIFY_SQL)
+
+
 # Step 4: boilerplate strip — tagged kinds, blank text, link density > 0.5,
 # then the per-page text-density rule (step 4c in extract_kernel.py): among
 # a page's surviving textual spans, drop those with token count below half
 # the page mean (2 * wc * m < W, exact integers).
-KEPT_SQL = f"""
-{RESOLVED_SQL},
+_KEPT_SUFFIX = """,
 kept0 AS (
   SELECT * FROM resolved
   WHERE kind NOT IN ('nav', 'footer', 'ad', 'script')
@@ -64,10 +71,17 @@ kept AS (
 )
 """
 
+
+def kept_sql_over(input_cte: str) -> str:
+    return resolved_sql_over(input_cte) + _KEPT_SUFFIX
+
+
+KEPT_SQL = kept_sql_over(SPANIFY_SQL)
+
+
 # Steps 5-6: table-run islands (gaps-and-islands over the resolved order),
 # pipe-table rendering with header separator, kind mapping, offset reindex.
-EXTRACT_SQL = f"""
-{KEPT_SQL},
+_EXTRACT_SUFFIX = """,
 lagged AS (
   SELECT *,
     CASE WHEN kind <> 'table_row'
@@ -122,6 +136,17 @@ extracted AS (
   FROM collapsed
 )
 """
+
+
+def extract_sql_over(input_cte: str) -> str:
+    """Full kernel spec (steps 1-6) over any CTE block exposing
+    `spanified(doc_id, kind, text, media_ref, "offset")`; exposes
+    `extracted`."""
+    return kept_sql_over(input_cte) + _EXTRACT_SUFFIX
+
+
+EXTRACT_SQL = extract_sql_over(SPANIFY_SQL)
+
 
 # A2: ordered merge — spans joined by newline in offset order.
 MERGE_SQL = f"""
