@@ -30,6 +30,7 @@ from .operators import (
     temporal,
     textstats,
 )
+from .operators import chunk as _chunk
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators import layout as _layout
@@ -382,6 +383,14 @@ def q_markdown_chunks_pyscan(spark, sf_dir):
     return extract_scan(
         spark, _pyscan_spans_dir(spark, sf_dir), mode="markdown_chunks"
     )
+
+
+@register_extra("window_chunks", _chunk.WINDOW_CHUNKS_SQL)
+def q_window_chunks(spark, sf_dir):
+    """Sliding-window chunking (64-word window, 32-word stride) — the
+    standard dense-retrieval chunk shape alongside page and
+    heading+size; one transform(sequence) projection, zero shuffle."""
+    return _chunk.window_chunks(_docs(spark, sf_dir))
 
 
 @register("chunk_dispatch", f"WITH {oracles.CHUNK_DISPATCH_SQL}")

@@ -278,3 +278,69 @@ def _carry_and_emit(pieces: DataFrame) -> DataFrame:
             F.col("t"),
         ).alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (RAG / embedding-input shape): fixed word window
+# with stride overlap. The reference chunks by page or heading+size
+# (doc2md_utils.py:207-260); overlapping windows are the standard third
+# strategy for dense retrieval, so the dispatcher family carries it too.
+# Zero shuffle: one transform(sequence(...)) projection per document.
+# ---------------------------------------------------------------------------
+
+WINDOW_WORDS = 64
+WINDOW_STRIDE = 32
+
+
+def window_chunks(
+    docs: DataFrame,
+    window: int = WINDOW_WORDS,
+    stride: int = WINDOW_STRIDE,
+) -> DataFrame:
+    """documents(doc_id, text) -> overlapping word windows. Window k
+    covers words[k*stride .. k*stride+window-1]; the last window starts
+    at the smallest multiple of stride reaching the end, so every word
+    is covered and short docs yield exactly one window."""
+    n_w = (
+        f"CASE WHEN size(ws) <= {window} THEN 1 "
+        f"ELSE int((size(ws) - {window} + {stride} - 1) div {stride}) + 1 END"
+    )
+    expr = f"""
+    element_at(transform(array(split(text, ' ')), ws ->
+      transform(sequence(0, ({n_w}) - 1), k -> named_struct(
+        'chunk_id', bigint(k),
+        'content', array_join(slice(ws, k * {stride} + 1, {window}), ' '),
+        'n_words', bigint(size(slice(ws, k * {stride} + 1, {window})))
+      ))
+    ), 1)
+    """
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.expr(expr)).alias("c"),
+        )
+        .select("doc_id", "c.*")
+    )
+
+
+WINDOW_CHUNKS_SQL = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, ws,
+    UNNEST(range(CASE WHEN len(ws) <= {WINDOW_WORDS} THEN 1
+      ELSE (len(ws) - {WINDOW_WORDS} + {WINDOW_STRIDE} - 1)
+           // {WINDOW_STRIDE} + 1 END)) AS k
+  FROM w
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+  array_to_string(
+    ws[k * {WINDOW_STRIDE} + 1 : k * {WINDOW_STRIDE} + {WINDOW_WORDS}], ' ')
+    AS content,
+  CAST(len(ws[k * {WINDOW_STRIDE} + 1 : k * {WINDOW_STRIDE} + {WINDOW_WORDS}])
+    AS BIGINT) AS n_words
+FROM idx
+"""

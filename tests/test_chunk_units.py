@@ -189,3 +189,37 @@ def test_separator_mode_prefers_paragraph_breaks(spark):
         FROM cuts ORDER BY k
     """).fetchall()
     assert [r[0] for r in duck] == expected
+
+
+def test_window_chunks_overlap_and_coverage(spark):
+    from gpt4ocontentextraction_spark.operators.chunk import window_chunks
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b")], "doc_id long, text string"
+    )
+    rows = window_chunks(docs, window=4, stride=2).collect()
+    got = sorted((r.doc_id, r.chunk_id, r.content, r.n_words) for r in rows)
+    # doc 1: starts 0,2,4,6 — last window [6..9] reaches the end
+    assert got == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w2 w3 w4 w5", 4),
+        (1, 2, "w4 w5 w6 w7", 4),
+        (1, 3, "w6 w7 w8 w9", 4),
+        (2, 0, "a b", 2),
+    ]
+
+
+def test_window_chunks_exact_multiple_boundary(spark):
+    from gpt4ocontentextraction_spark.operators.chunk import window_chunks
+
+    # 6 words, window 4, stride 2: starts 0 and 2 — start 4 would add
+    # nothing new past the end-covering window
+    docs = spark.createDataFrame(
+        [(3, "a b c d e f")], "doc_id long, text string"
+    )
+    rows = window_chunks(docs, window=4, stride=2).collect()
+    assert sorted((r.chunk_id, r.content) for r in rows) == [
+        (0, "a b c d"),
+        (1, "c d e f"),
+    ]
