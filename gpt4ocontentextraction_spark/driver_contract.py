@@ -294,6 +294,23 @@ def q_extract_spans_layout(spark, sf_dir):
 
 
 @register_extra(
+    "jsonl_roundtrip",
+    f'WITH {SPANIFY_SQL} SELECT doc_id, kind, text, media_ref,'
+    f' CAST("offset" AS BIGINT) AS offset FROM spanified',
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL source format: render the spanify corpus to JSON lines
+    (to_json) and parse back with the fixed schema (from_json) — exact
+    round-trip against the spanify relation. Both directions JVM
+    projections, no shuffle (sources/tables.py)."""
+    from .sources.tables import documents_to_jsonl, jsonl_to_documents
+
+    return _spans_out(
+        jsonl_to_documents(documents_to_jsonl(spanify(_docs(spark, sf_dir))))
+    )
+
+
+@register_extra(
     "table_cells",
     f"WITH {oracles.EXTRACT_SQL}, {_structured.TABLE_CELLS_SQL}"
     " SELECT doc_id, tbl_offset, row_idx, col_idx, cell FROM table_cells",

@@ -68,3 +68,30 @@ def create_or_replace_table(
     else:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"CREATE TABLE {name} ({ddl_columns}) USING parquet{loc}")
+
+
+def documents_to_jsonl(documents: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> one JSON line per document (`value` column) —
+    the interchange shape for text-file export (`df.write.text`) and for
+    feeding systems that speak JSONL rather than parquet. Pure JVM
+    (`to_json`), no shuffle."""
+    from pyspark.sql import functions as F
+
+    return documents.select(
+        F.to_json(F.struct("doc_id", "spans")).alias("value")
+    )
+
+
+def jsonl_to_documents(lines: DataFrame) -> DataFrame:
+    """Inverse of :func:`documents_to_jsonl`: parse a `value` column of
+    JSON lines back to the engine's (doc_id, spans) input shape with the
+    fixed schema (malformed lines become null rows a caller can filter).
+    Pure JVM (`from_json`), no shuffle; `jsonl_roundtrip` gates
+    parse∘render == identity against the spanify relation."""
+    from pyspark.sql import functions as F
+
+    from ..schema import DOCUMENTS_DDL
+
+    return lines.select(
+        F.from_json("value", DOCUMENTS_DDL).alias("d")
+    ).select("d.*")

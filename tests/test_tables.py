@@ -57,3 +57,25 @@ def test_create_or_replace_table_ddl(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ddl.idx")
         spark.sql("DROP DATABASE IF EXISTS t_ddl")
+
+
+def test_jsonl_roundtrip_through_text_files(spark, tmp_path):
+    """Export documents as real .jsonl text files and read them back:
+    the full file-level round trip, not just the expression pair."""
+    from gpt4ocontentextraction_spark.sources.tables import (
+        documents_to_jsonl,
+        jsonl_to_documents,
+    )
+    from gpt4ocontentextraction_spark.spanify import spanify
+
+    docs = spark.createDataFrame(
+        [(7, 'alpha "beta" \\ gamma delta & eps zeta eta theta')],
+        "doc_id long, text string",
+    )
+    src = spanify(docs)
+    path = str(tmp_path / "docs.jsonl")
+    documents_to_jsonl(src).write.mode("overwrite").text(path)
+    back = jsonl_to_documents(spark.read.text(path))
+    a = [tuple(r) for r in src.selectExpr("doc_id", "inline(spans)").collect()]
+    b = [tuple(r) for r in back.selectExpr("doc_id", "inline(spans)").collect()]
+    assert sorted(a) == sorted(b) and len(a) > 0
