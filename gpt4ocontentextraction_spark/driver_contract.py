@@ -34,6 +34,7 @@ from .operators import chunk as _chunk
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators import layout as _layout
+from .operators import report as _report
 from .operators import structured as _structured
 from .operators.html import HTML_RENDER_SQL, html_to_spans, spans_to_html
 from .operators.merge import merge_markdown
@@ -291,6 +292,20 @@ def q_extract_spans_layout(spark, sf_dir):
     return _spans_out(
         extract(_layout.layout_to_spans(_layout.layoutify(_docs(spark, sf_dir))))
     )
+
+
+@register_extra(
+    "extraction_report",
+    f"WITH {oracles.EXTRACT_SQL}, {_report.EXTRACTION_REPORT_SQL}"
+    " SELECT * FROM extraction_report",
+)
+def q_extraction_report(spark, sf_dir):
+    """Per-document extraction metrics (the reference's per-doc status
+    log as a relation): input size/pages/boilerplate vs output
+    composition + the exact dropped-span count, table-row collapse
+    accounted for."""
+    src = spanify(_docs(spark, sf_dir))
+    return _report.extraction_report(src, _spans_out(extract(src)))
 
 
 @register_extra(
