@@ -35,6 +35,7 @@ from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators import layout as _layout
 from .operators import report as _report
+from .functions import sniff as _sniff
 from .operators import structured as _structured
 from .operators.html import HTML_RENDER_SQL, html_to_spans, spans_to_html
 from .operators.merge import merge_markdown
@@ -292,6 +293,50 @@ def q_extract_spans_layout(spark, sf_dir):
     return _spans_out(
         extract(_layout.layout_to_spans(_layout.layoutify(_docs(spark, sf_dir))))
     )
+
+
+_SNIFF_PREFIXES = [
+    ("255044462D312E370A", "pdf"),           # %PDF-1.7\n
+    ("504B030414000000", "office-zip"),      # PK\x03\x04 + version bytes
+    ("89504E470D0A1A0A", "png"),
+    ("474946383961", "gif"),                 # GIF89a
+    ("424D763400", "bmp"),
+    ("3C21444F43545950452068746D6C3E", "html"),  # <!DOCTYPE html>
+    ("", "text"),
+]
+
+
+@register_extra(
+    "sniff_type",
+    "WITH sniffed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE doc_id % 7 "
+    + " ".join(
+        f"WHEN {i} THEN from_hex('{hx}') || encode(text)"
+        for i, (hx, _) in enumerate(_SNIFF_PREFIXES)
+        if hx
+    )
+    + " ELSE encode(text) END AS content FROM documents)"
+    f" SELECT doc_id, {_sniff.sniff_case_sql('content')} AS file_type"
+    " FROM sniffed",
+)
+def q_sniff_type(spark, sf_dir):
+    """Magic-byte content-type sniffing (real-pipeline replacement for
+    the reference's extension dispatch, docker/main.py:457-463): binary
+    inputs synthesized by prepending true magic numbers per doc_id % 7,
+    sniffed back by the hex-prefix CASE — both engines run the same
+    table over the same bytes. Pure JVM projection, no shuffle."""
+    branches = " ".join(
+        f"WHEN {i} THEN concat(X'{hx}', encode(text, 'UTF-8'))"
+        for i, (hx, _) in enumerate(_SNIFF_PREFIXES)
+        if hx
+    )
+    made = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(
+            f"CASE cast(doc_id % 7 as int) {branches}"
+            " ELSE encode(text, 'UTF-8') END"
+        ).alias("content"),
+    )
+    return _sniff.sniff_type(made).select("doc_id", "file_type")
 
 
 @register_extra(
