@@ -34,6 +34,7 @@ from .operators import chunk as _chunk
 from .operators.chunk import markdown_chunks, page_chunks
 from .operators.extract import extract
 from .operators import layout as _layout
+from .operators import pq as _pq
 from .operators import report as _report
 from .functions import sniff as _sniff
 from .operators import structured as _structured
@@ -87,6 +88,10 @@ def register_extra(name: str, oracle: str | None):
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _spans_out(df: DataFrame) -> DataFrame:
@@ -1929,6 +1934,30 @@ def q_quantized_rerank_topk(spark, sf_dir):
     round-6 before their limits. EXTRA (local-parity) gate;
     recall-restoration case in tests/test_quantize.py."""
     return quantize.quantized_rerank_topk(spark, sf_dir)
+
+
+@register_extra("pq_codebooks", _pq.PQ_CODEBOOKS_SQL)
+def q_pq_codebooks(spark, sf_dir):
+    """Product-quantization codebook training (one Lloyd iteration from
+    the deterministic subvector init, integer assignment, single-float
+    rounded means): (sub, centroid j, component pos, value, members)."""
+    return _pq.pq_codebooks(_embeds(spark, sf_dir))
+
+
+@register_extra("pq_codes", _pq.PQ_CODES_SQL)
+def q_pq_codes(spark, sf_dir):
+    """PQ encoding: every vector's nearest trained centroid per
+    subspace — 12 bits per vector at (m=4, k=8); codebook re-enters the
+    plan as literals so encode is a pure projection."""
+    return _pq.pq_codes(_embeds(spark, sf_dir))
+
+
+@register_extra("pq_adc_topk", _pq.PQ_TOPK_SQL)
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ ADC retrieval: per-subspace LUT sum approximates distance,
+    exact int-L2 rerank of the top-50 restores precision (Jégou et al.
+    2011 / the IVF-PQ serving shape)."""
+    return _pq.pq_adc_topk(spark, _embeds(spark, sf_dir))
 
 
 @register_extra("token_budget_mix", curation.TOKEN_BUDGET_MIX_SQL)
