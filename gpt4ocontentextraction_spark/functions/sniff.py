@@ -15,6 +15,7 @@ Python, no shuffle — mirrored exactly in DuckDB (`hex(substr(blob, ...))`).
 | png         | 89 50 4E 47 0D 0A 1A 0A |
 | gif         | 47 49 46 38 (``GIF8``) |
 | bmp         | 42 4D (``BM``) |
+| wav         | 52 49 46 46 (``RIFF``) + bytes 9-12 ``WAVE`` |
 | html        | first byte ``<`` (tag start) |
 | text        | anything else |
 """
@@ -28,14 +29,15 @@ __all__ = ["sniff_type", "SNIFF_CASE_SQL"]
 
 
 def _case(hexpr) -> str:
-    """Shared CASE over hex prefixes; `hexpr(n)` -> SQL for the hex of
-    the first n bytes (engine-specific)."""
+    """Shared CASE over hex slices; `hexpr(n, start=1)` -> SQL for the
+    hex of n bytes from 1-based byte offset `start` (engine-specific)."""
     return f"""
 CASE
   WHEN {hexpr(5)} = '255044462D' THEN 'pdf'
   WHEN {hexpr(4)} = '504B0304' THEN 'office-zip'
   WHEN {hexpr(8)} = '89504E470D0A1A0A' THEN 'png'
   WHEN {hexpr(4)} = '47494638' THEN 'gif'
+  WHEN {hexpr(4)} = '52494646' AND {hexpr(4, 9)} = '57415645' THEN 'wav'
   WHEN {hexpr(2)} = '424D' THEN 'bmp'
   WHEN {hexpr(1)} = '3C' THEN 'html'
   ELSE 'text'
@@ -45,14 +47,20 @@ END
 
 def sniff_type(df: DataFrame, bin_col: str = "content") -> DataFrame:
     """Add `file_type` sniffed from `bin_col`'s leading bytes."""
-    expr = _case(lambda n: f"upper(hex(substring({bin_col}, 1, {n})))")
+    expr = _case(
+        lambda n, start=1:
+        f"upper(hex(substring({bin_col}, {start}, {n})))"
+    )
     return df.withColumn("file_type", F.expr(expr))
 
 
 def sniff_case_sql(bin_col: str) -> str:
     """DuckDB twin of the sniff CASE for a BLOB column (DuckDB has no
     BLOB substr, so slice the hex string: byte n = hex chars 2n)."""
-    return _case(lambda n: f"upper(substr(hex({bin_col}), 1, {2 * n}))")
+    return _case(
+        lambda n, start=1:
+        f"upper(substr(hex({bin_col}), {2 * start - 1}, {2 * n}))"
+    )
 
 
 SNIFF_CASE_SQL = sniff_case_sql("content")

@@ -231,7 +231,11 @@ def decode_features(media: DataFrame) -> DataFrame:
 def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
     """Resize. PNG blobs get a REAL nearest-neighbor pixel resize
     (decode -> index-map -> re-encode, all stdlib+numpy); fake-codec
-    blobs subsample their synthetic payload to the new dimensions."""
+    blobs subsample their synthetic payload to the new dimensions.
+    Audio rows are excluded up front (resize is pixel semantics —
+    `audio_resample` is the audio analog)."""
+    if "media_kind" in media.columns:
+        media = media.filter(F.col("media_kind") != "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.bmp import encode_bmp, is_bmp
@@ -324,6 +328,136 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_DDL = (
+    "media_ref string, rate int, channels int, n_samples int, "
+    "duration_s double, rms double, peak double, zero_cross_rate double"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Signal statistics over REAL decoded audio samples (functions/
+    wav.py — stdlib RIFF/PCM codec): duration, RMS energy, peak
+    amplitude, zero-crossing rate. The audio analog of decode_features:
+    Arrow-batched mapInPandas, numpy-vectorized per clip, no per-sample
+    Python. Reference analog: media attachments as opaque blobs
+    (docker/main.py:209-227) — here the audio ones decode for real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for ref, blob in zip(pdf["media_ref"], pdf["data"]):
+                dec = decode_wav(bytes(blob))
+                s = dec["samples"].astype(np.float64)
+                mono = s.mean(axis=1)
+                zc = (
+                    float(
+                        np.mean(
+                            np.signbit(mono[1:]) != np.signbit(mono[:-1])
+                        )
+                    )
+                    if len(mono) > 1
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        ref,
+                        dec["rate"],
+                        dec["channels"],
+                        int(s.shape[0]),
+                        s.shape[0] / dec["rate"],
+                        float(np.sqrt(np.mean(s * s))),
+                        float(np.max(np.abs(s), initial=0.0)),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "rate", "channels", "n_samples",
+                    "duration_s", "rms", "peak", "zero_cross_rate",
+                ],
+            ).astype(
+                {"rate": "int32", "channels": "int32", "n_samples": "int32"}
+            )
+
+    return (
+        media.filter(F.col("media_kind") == "audio")
+        .select("media_ref", "data")
+        .mapInPandas(run, AUDIO_FEATURES_DDL)
+    )
+
+
+def audio_resample(media: DataFrame, dst_rate: int) -> DataFrame:
+    """Nearest-neighbor resample of every audio clip to dst_rate and
+    re-encode as canonical 16-bit PCM WAV — the audio analog of the
+    image nearest resize (decode -> index-map -> re-encode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import decode_wav, encode_wav, resample_nearest
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["data"]:
+                dec = decode_wav(bytes(blob))
+                out.append(
+                    encode_wav(
+                        resample_nearest(
+                            dec["samples"], dec["rate"], dst_rate
+                        ),
+                        dst_rate,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "rate": np.int32(dst_rate),
+                    "data": out,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_kind") == "audio")
+        .select("media_ref", "data")
+        .mapInPandas(run, "media_ref string, rate int, data binary")
+    )
+
+
+def audio_clips(media: DataFrame, clip_s: float = 0.1) -> DataFrame:
+    """Explode audio into fixed-duration clips, each re-emitted as a
+    standalone WAV — the audio analog of sample_frames (video ->
+    per-frame PNGs). The tail clip keeps its partial length, so
+    concatenating the clips reconstructs the signal exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import decode_wav, encode_wav
+
+        for pdf in batches:
+            refs, nos, clips = [], [], []
+            for ref, blob in zip(pdf["media_ref"], pdf["data"]):
+                dec = decode_wav(bytes(blob))
+                s, rate = dec["samples"], dec["rate"]
+                step = max(1, int(round(rate * clip_s)))
+                for i, start in enumerate(range(0, s.shape[0], step)):
+                    refs.append(ref)
+                    nos.append(i)
+                    clips.append(encode_wav(s[start:start + step], rate))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "clip_no": np.array(nos, dtype="int32"),
+                    "clip": clips,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_kind") == "audio")
+        .select("media_ref", "data")
+        .mapInPandas(run, "media_ref string, clip_no int, clip binary")
+    )
+
+
 def _decode_real(blob: bytes) -> dict:
     """Real-codec decode. PNG — the reference's central intermediate
     (docker/main.py:209-227 rasterizes pages to PNG) — is decoded to
@@ -335,15 +469,39 @@ def _decode_real(blob: bytes) -> dict:
     GIF (functions/gif.py, stdlib LZW) is the real MULTI-FRAME
     container: animated GIFs decode to a frame list (returned under
     "frames", pixels = frame 0) and row as kind "video", so frame
-    sampling runs on actual pixels. Other real codecs (JPEG, audio,
-    video containers) genuinely need libraries this container lacks and
-    still raise NotImplementedError — callers must ROUTE the returned
-    dict when decode succeeds, not assume this raises (the r3 ADVICE
-    fall-through)."""
+    sampling runs on actual pixels. WAV (functions/wav.py, stdlib
+    RIFF/PCM) is the real AUDIO codec: kind "audio", samples decoded
+    for real, MEDIA_SCHEMA's width/height slots carrying
+    channels/sample-rate. Remaining codecs (JPEG, compressed
+    audio/video containers) genuinely need libraries this container
+    lacks and still raise NotImplementedError — callers must ROUTE the
+    returned dict when decode succeeds, not assume this raises (the r3
+    ADVICE fall-through)."""
     from ..functions.bmp import decode_bmp, is_bmp
     from ..functions.gif import decode_gif, is_gif
     from ..functions.png import decode_png, is_png
+    from ..functions.wav import decode_wav, is_wav
 
+    if is_wav(blob):
+        dec = decode_wav(blob)
+        s = dec["samples"]
+        # byte-stat view for the uniform feature path: the canonical
+        # 16-bit quantization of the samples, as uint8 (deterministic)
+        q = np.clip(
+            np.floor(s.astype(np.float64) * 32768.0 + 0.5), -32768, 32767
+        ).astype("<i2")
+        return {
+            "kind": "audio",
+            "mime": "audio/wav",
+            # MEDIA_SCHEMA's typed-metadata slots, repurposed for audio:
+            # width carries the channel count, height the sample rate
+            "width": dec["channels"],
+            "height": dec["rate"],
+            "n_frames": int(s.shape[0]),
+            "pixels": q.reshape(-1).view(np.uint8),
+            "samples": s,
+            "rate": dec["rate"],
+        }
     if is_gif(blob):
         frames = decode_gif(blob)
         h, w, _c = frames[0].shape
@@ -379,8 +537,9 @@ def _decode_real(blob: bytes) -> dict:
             "pixels": px,
         }
     raise NotImplementedError(
-        "only PNG, BMP and GIF real-codec decode is implemented (stdlib); "
-        "JPEG/audio/video need PIL/libav, not present in this environment"
+        "only PNG, BMP, GIF and WAV real-codec decode is implemented "
+        "(stdlib); JPEG and compressed audio/video containers need "
+        "PIL/libav, not present in this environment"
     )
 
 

@@ -17,6 +17,8 @@ def test_sniff_magic_table(spark):
         (7, b"plain prose"),
         (8, b"PDF-like but no percent"),  # near-miss -> text
         (9, b"PK\x05\x06 end-of-central-dir only"),  # not the local header
+        (10, b"RIFF\x24\x08\x00\x00WAVEfmt rest"),
+        (11, b"RIFF\x24\x08\x00\x00AVI listdata"),  # RIFF but not WAVE
     ]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     got = {r.doc_id: r.file_type for r in sniff_type(df).collect()}
@@ -30,6 +32,8 @@ def test_sniff_magic_table(spark):
         7: "text",
         8: "text",
         9: "text",
+        10: "wav",
+        11: "text",
     }
 
 
