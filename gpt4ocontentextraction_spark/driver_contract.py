@@ -304,6 +304,7 @@ _SNIFF_PREFIXES = [
     ("255044462D312E370A", "pdf"),           # %PDF-1.7\n
     ("504B030414000000", "office-zip"),      # PK\x03\x04 + version bytes
     ("89504E470D0A1A0A", "png"),
+    ("FFD8FFE0", "jpeg"),                    # JFIF
     ("474946383961", "gif"),                 # GIF89a
     ("424D763400", "bmp"),
     ("524946462408000057415645", "wav"),     # RIFF....WAVE
@@ -314,7 +315,7 @@ _SNIFF_PREFIXES = [
 
 @register_extra(
     "sniff_type",
-    "WITH sniffed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE doc_id % 8 "
+    "WITH sniffed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE doc_id % 9 "
     + " ".join(
         f"WHEN {i} THEN from_hex('{hx}') || encode(text)"
         for i, (hx, _) in enumerate(_SNIFF_PREFIXES)
@@ -327,7 +328,7 @@ _SNIFF_PREFIXES = [
 def q_sniff_type(spark, sf_dir):
     """Magic-byte content-type sniffing (real-pipeline replacement for
     the reference's extension dispatch, docker/main.py:457-463): binary
-    inputs synthesized by prepending true magic numbers per doc_id % 8,
+    inputs synthesized by prepending true magic numbers per doc_id % 9,
     sniffed back by the hex-prefix CASE — both engines run the same
     table over the same bytes. Pure JVM projection, no shuffle."""
     branches = " ".join(
@@ -338,7 +339,7 @@ def q_sniff_type(spark, sf_dir):
     made = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.expr(
-            f"CASE cast(doc_id % 8 as int) {branches}"
+            f"CASE cast(doc_id % 9 as int) {branches}"
             " ELSE encode(text, 'UTF-8') END"
         ).alias("content"),
     )

@@ -13,6 +13,7 @@ Python, no shuffle — mirrored exactly in DuckDB (`hex(substr(blob, ...))`).
 | pdf         | 25 50 44 46 2D (``%PDF-``) |
 | office-zip  | 50 4B 03 04 (``PK\\x03\\x04`` — docx/xlsx/pptx container) |
 | png         | 89 50 4E 47 0D 0A 1A 0A |
+| jpeg        | FF D8 FF |
 | gif         | 47 49 46 38 (``GIF8``) |
 | bmp         | 42 4D (``BM``) |
 | wav         | 52 49 46 46 (``RIFF``) + bytes 9-12 ``WAVE`` |
@@ -36,6 +37,7 @@ CASE
   WHEN {hexpr(5)} = '255044462D' THEN 'pdf'
   WHEN {hexpr(4)} = '504B0304' THEN 'office-zip'
   WHEN {hexpr(8)} = '89504E470D0A1A0A' THEN 'png'
+  WHEN {hexpr(3)} = 'FFD8FF' THEN 'jpeg'
   WHEN {hexpr(4)} = '47494638' THEN 'gif'
   WHEN {hexpr(4)} = '52494646' AND {hexpr(4, 9)} = '57415645' THEN 'wav'
   WHEN {hexpr(2)} = '424D' THEN 'bmp'

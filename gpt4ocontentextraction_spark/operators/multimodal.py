@@ -240,6 +240,7 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.bmp import encode_bmp, is_bmp
         from ..functions.gif import encode_gif, is_gif
+        from ..functions.jpeg import encode_jpeg, is_jpeg
         from ..functions.png import encode_png, nearest_resize
 
         for pdf in batches:
@@ -248,8 +249,9 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
                 blob = bytes(blob)
                 if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
-                    # keep the source container: BMP stays BMP, GIF
-                    # stays GIF (every frame resized), else PNG
+                    # keep the source container: BMP stays BMP, JPEG
+                    # stays JPEG, GIF stays GIF (every frame resized),
+                    # else PNG
                     if is_gif(blob):
                         out.append(
                             encode_gif(
@@ -261,9 +263,12 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
                         )
                         continue
                     px = nearest_resize(dec["pixels"], new_width, new_height)
-                    out.append(
-                        encode_bmp(px) if is_bmp(blob) else encode_png(px)
-                    )
+                    if is_bmp(blob):
+                        out.append(encode_bmp(px))
+                    elif is_jpeg(blob):
+                        out.append(encode_jpeg(px))
+                    else:
+                        out.append(encode_png(px))
                     continue
                 payload = np.frombuffer(blob, dtype=np.uint8, offset=HEADER_SIZE)
                 n_new = max(1, (new_width * new_height) // 64)
@@ -472,13 +477,15 @@ def _decode_real(blob: bytes) -> dict:
     sampling runs on actual pixels. WAV (functions/wav.py, stdlib
     RIFF/PCM) is the real AUDIO codec: kind "audio", samples decoded
     for real, MEDIA_SCHEMA's width/height slots carrying
-    channels/sample-rate. Remaining codecs (JPEG, compressed
-    audio/video containers) genuinely need libraries this container
-    lacks and still raise NotImplementedError — callers must ROUTE the
-    returned dict when decode succeeds, not assume this raises (the r3
-    ADVICE fall-through)."""
+    channels/sample-rate. JPEG (functions/jpeg.py, stdlib baseline
+    Huffman-DCT) decodes for real too, incl. 4:2:0/4:2:2 and restart
+    intervals. Only compressed audio/video CONTAINERS (MP3/MP4/AVI...)
+    still raise NotImplementedError — callers must ROUTE the returned
+    dict when decode succeeds, not assume this raises (the r3 ADVICE
+    fall-through)."""
     from ..functions.bmp import decode_bmp, is_bmp
     from ..functions.gif import decode_gif, is_gif
+    from ..functions.jpeg import decode_jpeg, is_jpeg
     from ..functions.png import decode_png, is_png
     from ..functions.wav import decode_wav, is_wav
 
@@ -536,10 +543,23 @@ def _decode_real(blob: bytes) -> dict:
             "n_frames": 1,
             "pixels": px,
         }
+    if is_jpeg(blob):
+        px = decode_jpeg(blob)
+        if px.ndim == 2:  # grayscale -> uniform (H, W, C) pixel shape
+            px = px[:, :, None]
+        h, w, _c = px.shape
+        return {
+            "kind": "image",
+            "mime": "image/jpeg",
+            "width": int(w),
+            "height": int(h),
+            "n_frames": 1,
+            "pixels": px,
+        }
     raise NotImplementedError(
-        "only PNG, BMP, GIF and WAV real-codec decode is implemented "
-        "(stdlib); JPEG and compressed audio/video containers need "
-        "PIL/libav, not present in this environment"
+        "only PNG, BMP, GIF, JPEG and WAV real-codec decode is "
+        "implemented (stdlib); compressed audio/video containers need "
+        "libav-class codecs, not present in this environment"
     )
 
 

@@ -84,11 +84,12 @@ def test_citation_resolution_join(extracted, media):
     }
 
 
-def test_real_decode_non_png_still_stubbed():
-    """JPEG/audio/video genuinely need libraries the container lacks —
-    those still raise; PNG (below) decodes for real."""
+def test_real_decode_compressed_containers_still_stubbed():
+    """Compressed audio/video containers genuinely need libav-class
+    codecs the container lacks — those still raise; PNG/BMP/GIF/JPEG/
+    WAV decode for real (their own test modules)."""
     with pytest.raises(NotImplementedError):
-        mm._decode_real(b"\xff\xd8\xff\xe0jpeg-ish")
+        mm._decode_real(b"\x00\x00\x00\x18ftypmp42 not decodable")
 
 
 def _gradient_png(w: int, h: int, ch: int = 3):
