@@ -308,6 +308,7 @@ _SNIFF_PREFIXES = [
     ("474946383961", "gif"),                 # GIF89a
     ("424D763400", "bmp"),
     ("524946462408000057415645", "wav"),     # RIFF....WAVE
+    ("524946462408000041564920", "avi"),     # RIFF....AVI(sp)
     ("3C21444F43545950452068746D6C3E", "html"),  # <!DOCTYPE html>
     ("", "text"),
 ]
@@ -315,7 +316,7 @@ _SNIFF_PREFIXES = [
 
 @register_extra(
     "sniff_type",
-    "WITH sniffed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE doc_id % 9 "
+    "WITH sniffed AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE doc_id % 10 "
     + " ".join(
         f"WHEN {i} THEN from_hex('{hx}') || encode(text)"
         for i, (hx, _) in enumerate(_SNIFF_PREFIXES)
@@ -328,7 +329,7 @@ _SNIFF_PREFIXES = [
 def q_sniff_type(spark, sf_dir):
     """Magic-byte content-type sniffing (real-pipeline replacement for
     the reference's extension dispatch, docker/main.py:457-463): binary
-    inputs synthesized by prepending true magic numbers per doc_id % 9,
+    inputs synthesized by prepending true magic numbers per doc_id % 10,
     sniffed back by the hex-prefix CASE — both engines run the same
     table over the same bytes. Pure JVM projection, no shuffle."""
     branches = " ".join(
@@ -339,7 +340,7 @@ def q_sniff_type(spark, sf_dir):
     made = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.expr(
-            f"CASE cast(doc_id % 9 as int) {branches}"
+            f"CASE cast(doc_id % 10 as int) {branches}"
             " ELSE encode(text, 'UTF-8') END"
         ).alias("content"),
     )

@@ -17,6 +17,7 @@ Python, no shuffle — mirrored exactly in DuckDB (`hex(substr(blob, ...))`).
 | gif         | 47 49 46 38 (``GIF8``) |
 | bmp         | 42 4D (``BM``) |
 | wav         | 52 49 46 46 (``RIFF``) + bytes 9-12 ``WAVE`` |
+| avi         | 52 49 46 46 (``RIFF``) + bytes 9-12 ``AVI `` |
 | html        | first byte ``<`` (tag start) |
 | text        | anything else |
 """
@@ -40,6 +41,7 @@ CASE
   WHEN {hexpr(3)} = 'FFD8FF' THEN 'jpeg'
   WHEN {hexpr(4)} = '47494638' THEN 'gif'
   WHEN {hexpr(4)} = '52494646' AND {hexpr(4, 9)} = '57415645' THEN 'wav'
+  WHEN {hexpr(4)} = '52494646' AND {hexpr(4, 9)} = '41564920' THEN 'avi'
   WHEN {hexpr(2)} = '424D' THEN 'bmp'
   WHEN {hexpr(1)} = '3C' THEN 'html'
   ELSE 'text'

@@ -12,10 +12,12 @@ from stubbed to real the same way BMP did for images.
 
 Scope (honest partial support, raises beyond it):
 - decode: canonical RIFF/WAVE chunk walk; PCM (format tag 1) at
-  8/16/24/32-bit and IEEE float (format tag 3) at 32/64-bit, any
-  channel count. Compressed format tags (ADPCM, mu-law, MP3-in-WAV,
-  EXTENSIBLE sub-formats other than PCM/float) raise
-  NotImplementedError with the tag named.
+  8/16/24/32-bit, IEEE float (tag 3) at 32/64-bit, and the G.711
+  companding codecs — A-law (tag 6) and mu-law (tag 7), vectorized
+  transcriptions of the public ITU-T table math — any channel count.
+  Remaining compressed tags (ADPCM, MP3-in-WAV, EXTENSIBLE
+  sub-formats beyond these) raise NotImplementedError with the tag
+  named.
 - encode: 16-bit PCM little-endian with a canonical 44-byte header —
   deterministic bytes for a given array (fixtures + round-trip tests).
 
@@ -42,7 +44,29 @@ __all__ = [
 
 _FMT_PCM = 1
 _FMT_IEEE_FLOAT = 3
+_FMT_ALAW = 6
+_FMT_MULAW = 7
 _FMT_EXTENSIBLE = 0xFFFE
+
+
+def _mulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> linear (int16 range, max 32124).
+    Vectorized transcription of the public CCITT reference math."""
+    u = (~u.astype(np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte -> linear (int16 range, max 32256)."""
+    a = a.astype(np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t)
 
 
 def is_wav(blob: bytes) -> bool:
@@ -107,10 +131,16 @@ def decode_wav(blob: bytes) -> dict:
             samples = np.frombuffer(data, dtype="<f8").astype(np.float32)
         else:
             raise NotImplementedError(f"IEEE-float bit depth {bits}")
+    elif tag == _FMT_MULAW:
+        lin = _mulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+        samples = (lin / 32768.0).astype(np.float32)
+    elif tag == _FMT_ALAW:
+        lin = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+        samples = (lin / 32768.0).astype(np.float32)
     else:
         raise NotImplementedError(
-            f"WAV format tag {tag} (PCM=1 / IEEE-float=3 only; "
-            "ADPCM/mu-law/compressed payloads need codecs this "
+            f"WAV format tag {tag} (PCM=1, IEEE-float=3, A-law=6, "
+            "mu-law=7 only; ADPCM/MP3-in-WAV payloads need codecs this "
             "environment lacks)"
         )
     nfrm = len(samples) // channels

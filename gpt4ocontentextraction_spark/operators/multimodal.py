@@ -238,6 +238,7 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
         media = media.filter(F.col("media_kind") != "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import encode_avi_mjpeg, is_avi
         from ..functions.bmp import encode_bmp, is_bmp
         from ..functions.gif import encode_gif, is_gif
         from ..functions.jpeg import encode_jpeg, is_jpeg
@@ -250,8 +251,18 @@ def resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
                 if not _is_fake_blob(blob):
                     dec = _decode_real(blob)
                     # keep the source container: BMP stays BMP, JPEG
-                    # stays JPEG, GIF stays GIF (every frame resized),
-                    # else PNG
+                    # stays JPEG, GIF stays GIF, MJPEG-AVI stays AVI
+                    # (every frame resized), else PNG
+                    if is_avi(blob):
+                        out.append(
+                            encode_avi_mjpeg(
+                                [
+                                    nearest_resize(f, new_width, new_height)
+                                    for f in dec["frames"]
+                                ]
+                            )
+                        )
+                        continue
                     if is_gif(blob):
                         out.append(
                             encode_gif(
@@ -483,11 +494,28 @@ def _decode_real(blob: bytes) -> dict:
     still raise NotImplementedError — callers must ROUTE the returned
     dict when decode succeeds, not assume this raises (the r3 ADVICE
     fall-through)."""
+    from ..functions.avi import decode_avi, is_avi
     from ..functions.bmp import decode_bmp, is_bmp
     from ..functions.gif import decode_gif, is_gif
     from ..functions.jpeg import decode_jpeg, is_jpeg
     from ..functions.png import decode_png, is_png
     from ..functions.wav import decode_wav, is_wav
+
+    if is_avi(blob):
+        # MJPEG-in-AVI: the REAL video container (functions/avi.py —
+        # RIFF walk + per-frame JPEG decode); non-MJPEG codecs raise
+        # inside decode_avi
+        frames = decode_avi(blob)
+        h, w, _c = frames[0].shape
+        return {
+            "kind": "video",
+            "mime": "video/x-msvideo",
+            "width": int(w),
+            "height": int(h),
+            "n_frames": len(frames),
+            "pixels": frames[0],
+            "frames": frames,
+        }
 
     if is_wav(blob):
         dec = decode_wav(blob)

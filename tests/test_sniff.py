@@ -18,8 +18,9 @@ def test_sniff_magic_table(spark):
         (8, b"PDF-like but no percent"),  # near-miss -> text
         (9, b"PK\x05\x06 end-of-central-dir only"),  # not the local header
         (10, b"RIFF\x24\x08\x00\x00WAVEfmt rest"),
-        (11, b"RIFF\x24\x08\x00\x00AVI listdata"),  # RIFF but not WAVE
+        (11, b"RIFF\x24\x08\x00\x00AVI listdata"),  # note the space: AVI
         (12, b"\xff\xd8\xff\xe0\x00\x10JFIF"),
+        (13, b"RIFF\x24\x08\x00\x00AVIX no-space fourcc"),  # near-miss
     ]
     df = spark.createDataFrame(rows, "doc_id long, content binary")
     got = {r.doc_id: r.file_type for r in sniff_type(df).collect()}
@@ -34,8 +35,9 @@ def test_sniff_magic_table(spark):
         8: "text",
         9: "text",
         10: "wav",
-        11: "text",
+        11: "avi",
         12: "jpeg",
+        13: "text",
     }
 
 

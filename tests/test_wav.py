@@ -123,6 +123,36 @@ def test_compressed_tags_honestly_raise():
         decode_wav(b"RIFFxxxxAVI " + b"\x00" * 16)
 
 
+def test_g711_mulaw_alaw_decode():
+    """ITU G.711 companding: anchor values + strict monotonicity over
+    each sign half, and full int16-ish dynamic range."""
+    from gpt4ocontentextraction_spark.functions.wav import (
+        _alaw_to_linear,
+        _mulaw_to_linear,
+    )
+
+    allb = np.arange(256, dtype=np.uint8)
+    mu = _mulaw_to_linear(allb)
+    assert mu[0xFF] == 0          # mu-law 0xFF encodes linear 0
+    assert mu[0x00] == -32124     # negative max
+    assert mu[0x80] == 32124      # positive max
+    assert mu.max() == 32124 and mu.min() == -32124
+    # bytes 0x80..0xFF are the positive half, descending magnitude
+    pos = mu[0x80:]
+    assert np.all(np.diff(pos) < 0) and np.all(pos >= 0)
+    al = _alaw_to_linear(allb)
+    assert al.max() == 32256 and al.min() == -32256
+    assert al[0x55] == -8        # A-law 0x55 encodes the smallest step
+    assert al[0xD5] == 8
+    # through the WAV container: tag 7 / tag 6, 8-bit
+    dec = decode_wav(_pcm_wav(bytes([0xFF, 0x00, 0x80]), 8, tag=7))
+    got = np.round(dec["samples"][:, 0] * 32768.0).astype(int)
+    assert got[0] == 0 and got[1] == -32124 and got[2] == 32124
+    dec = decode_wav(_pcm_wav(bytes([0x55, 0xD5]), 8, tag=6))
+    got = np.round(dec["samples"][:, 0] * 32768.0).astype(int)
+    assert list(got) == [-8, 8]
+
+
 def test_synth_deterministic_and_resample():
     a, b = synth_wav(5, rate=4000, seconds=0.1), synth_wav(5, rate=4000,
                                                            seconds=0.1)
