@@ -287,6 +287,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             ns = body[0]
             scan = []  # (comp index, dc table, ac table)
             h, w, comps = frame
+            if ns != len(comps):
+                # T.81 allows per-component scans (non-interleaved MCU
+                # geometry); real baseline JFIFs are single-scan
+                # interleaved, so that layout is out of scope — raise
+                # rather than mis-place blocks
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG"
+                )
             for i in range(ns):
                 cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)
                 ci = next(
