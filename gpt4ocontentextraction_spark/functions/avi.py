@@ -2,7 +2,9 @@
 
 With baseline JPEG decodable in-stdlib (functions/jpeg.py), Motion-JPEG
 video needs only the RIFF container walk — the same chunk grammar as
-WAV (functions/wav.py). That makes "video" a REAL decoded format here
+WAV (functions/wav.py). Reference analog: media attachments handled as
+opaque page artifacts (/root/reference/docker/main.py:209-227); here
+the video ones decode to real frames for sampling/resize. That makes "video" a REAL decoded format here
 (frame sampling on actual pixels), next to animated GIF; non-MJPEG
 video codecs (H.264 etc.) honestly raise. All structures are from the
 public Microsoft RIFF/AVI specification (avih / strh / strf /
