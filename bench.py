@@ -212,8 +212,12 @@ HEADLINE = (
     "cosine_topk",
     "quantized_cosine_topk",
     "quantized_rerank_topk",
+    "pq_adc_topk",
     "bm25_topk",
     "hybrid_topk",
+    "window_chunks",
+    "sniff_type",
+    "extraction_report",
 )
 
 
