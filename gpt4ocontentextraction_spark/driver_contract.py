@@ -1884,8 +1884,15 @@ def q_quota_sample(spark, sf_dir):
 def q_pack_sequences(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing via a two-phase
     distributed prefix sum (block-partitioned windows + broadcast block
-    offsets); the oracle is the flat one-window spec."""
-    return curation.pack_sequences(_docs(spark, sf_dir))
+    offsets); the oracle is the flat one-window spec.
+
+    The gate output is pinned to doc_id order: the block-partitioned
+    window + broadcast join emit partitions in scheduler order, so the
+    row order the driver hashes would otherwise vary with the session's
+    partition count (the r05 hash-red that reproduced nowhere else —
+    VERDICT r5 #2); the oracle's one flat window enumerates in doc_id
+    order."""
+    return curation.pack_sequences(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 @register_extra("unigram_logprob", curation.UNIGRAM_LOGPROB_SQL)

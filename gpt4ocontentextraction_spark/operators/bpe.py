@@ -23,6 +23,8 @@ learned merge table is a pure function of the corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,26 +143,126 @@ def _merge_fold(left: str, right: str) -> Column:
     )
 
 
-def bpe_learn(spark, docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+# Driver-arm dictionary budget (rows). BPE training only ever touches
+# the (word, count) dictionary — vocab-bounded, NOT corpus-bounded
+# (~1e8 distinct words for 1e12 tokens) — so when it fits, the merge
+# loop runs in-process after the one corpus-scale exchange instead of
+# issuing 2 Spark jobs per merge (VERDICT r5 #6: 32k merges would mean
+# 64k sequential driver jobs over a relation that fits in memory).
+# Above the budget the distributed loop below remains the path.
+BPE_DICT_BUDGET = int(os.environ.get("SPARK_GRAFT_BPE_DICT_BUDGET", "2000000"))
+
+
+def _merge_seq(syms: list[str], l: str, r: str, merged: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge — the in-process twin
+    of _merge_fold (equality pinned in tests/test_bpe.py)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_learn_local(
+    wc_rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """In-process Sennrich merge loop over the collected dictionary:
+    identical argmax tie-break to the distributed form — (count DESC,
+    left ASC, right ASC); Python's code-point string order equals
+    Spark/DuckDB's binary UTF-8 order (UTF-8 is order-preserving)."""
+    from collections import Counter, defaultdict
+
+    vocab = [[list(w) + [END_OF_WORD], int(c)] for w, c in wc_rows]
+    # incremental pair statistics (the standard fast-BPE bookkeeping):
+    # per-pair corpus count plus the set of dictionary entries holding
+    # the pair, so each merge touches only the affected words — O(hits)
+    # per merge instead of O(vocab), which is what makes a 32k-merge
+    # vocabulary train in seconds rather than rescanning the dictionary
+    # 32k times. Counts are maintained by exact deltas, so the argmax
+    # sees the same Counter a full recount would build.
+    pairs: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for idx, (syms, cnt) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] += cnt
+            where[p].add(idx)
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        cand = [(-c, p) for p, c in pairs.items() if c >= 2]
+        if not cand:
+            break
+        nc, (l, r) = min(cand)
+        c = -nc
+        merged = l + r
+        out.append((rank, l, r, merged, int(c)))
+        for idx in list(where[(l, r)]):
+            syms, cnt = vocab[idx]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] -= cnt
+                where[p].discard(idx)
+            new = _merge_seq(syms, l, r, merged)
+            vocab[idx][0] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pairs[p] += cnt
+                where[p].add(idx)
+    return out
+
+
+def bpe_learn(
+    spark,
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    dict_budget: int | None = None,
+) -> DataFrame:
     """Learn the first n_merges BPE merges over the corpus. Returns the
     merge table (rank, left, right, merged, pair_count) — bounded
     driver-local rows, like the k-means centroid materialization; stops
     early when no adjacent pair remains with count >= 2 (merging a
     count-1 pair can never help a tokenizer).
 
+    Hybrid execution (VERDICT r5 #6): the one corpus-scale exchange
+    builds the (word, count) dictionary; when the dictionary fits
+    BPE_DICT_BUDGET rows it is collected ONCE and the merge loop runs
+    in-process (the dictionary is all BPE ever needs — n_merges Spark
+    jobs collapse to zero), else the distributed per-merge loop runs
+    unchanged. Both arms produce the identical table (pinned in
+    tests/test_bpe.py on the hand corpus and sf0.001).
+
     No SQL oracle exists for the iterative argmax-retokenize loop, so
     the gate is rows-only; tests/test_bpe.py pins the full table against
     an independent pure-Python reference implementation (the Sennrich
     pseudocode over a pandas-computed word dictionary) on both a hand
     corpus and the real sf0.001 corpus."""
+    schema = (
+        "rank long, left string, right string, merged string,"
+        " pair_count long"
+    )
+    budget = BPE_DICT_BUDGET if dict_budget is None else dict_budget
+    wc = cached.track(_word_counts(docs))
+    n_dict = wc.count()  # rides the one corpus-scale exchange
+    if n_dict <= budget:
+        rows = [(r["w"], r["cnt"]) for r in wc.collect()]
+        cached.release_entry(wc)
+        return spark.createDataFrame(
+            _bpe_learn_local(rows, n_merges), schema
+        )
     words = cached.track(
-        _word_counts(docs).select(
+        wc.select(
             F.expr(
                 f"concat(split(w, ''), array('{END_OF_WORD}'))"
             ).alias("syms"),
             "cnt",
         )
     )
+    words.count()
+    cached.release_entry(wc)
     out = []
     for rank in range(n_merges):
         scope = cached.mark()
@@ -185,10 +287,7 @@ def bpe_learn(spark, docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         cached.release_entry(words)
         words = new_words
     cached.release_entry(words)
-    return spark.createDataFrame(
-        out, "rank long, left string, right string, merged string,"
-        " pair_count long"
-    )
+    return spark.createDataFrame(out, schema)
 
 
 def bpe_vocab_stats(spark, docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .quantize import _VD, _q_scale, _q_vec
+from .quantize import QUANT_MAX, _VD, _q_scale, _q_vec
 
 PQ_M = 4      # subspaces
 PQ_K = 8      # centroids per subspace
@@ -86,10 +86,15 @@ def _arr_lit(vals: list[int]) -> str:
     return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
 
 
-def _init_centroids(q: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
-    """Deterministic init: centroid j of subspace s = subvector of
-    vec_id j (bounded collect of PQ_K rows)."""
-    rows = {r.vec_id: list(r.qvec) for r in q.filter(F.col("vec_id") < PQ_K).collect()}
+def _init_rows(q: DataFrame) -> dict[int, list[int]]:
+    """Bounded collect of the PQ_K init vectors (quantized)."""
+    return {
+        r.vec_id: list(r.qvec)
+        for r in q.filter(F.col("vec_id") < PQ_K).collect()
+    }
+
+
+def _init_from_rows(rows: dict[int, list[int]]) -> dict[int, list[tuple[int, list[int]]]]:
     return {
         s: [
             (j, rows[j][s * PQ_D : (s + 1) * PQ_D])
@@ -99,22 +104,179 @@ def _init_centroids(q: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
     }
 
 
-def pq_codebooks(embeddings: DataFrame) -> DataFrame:
+def _init_centroids(q: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
+    """Deterministic init: centroid j of subspace s = subvector of
+    vec_id j (bounded collect of PQ_K rows)."""
+    return _init_from_rows(_init_rows(q))
+
+
+def _np_cents(cents: dict[int, list[tuple[int, list[int]]]]):
+    """Broadcastable numpy view of a collected codebook: per subspace,
+    (centroid-id vector js, centroid matrix C[k, d]) — js sorted
+    ascending by construction, so np.argmin's first-minimum rule equals
+    the literal spec's (dist, j) tie-break."""
+    import numpy as np
+
+    out = {}
+    for s in range(PQ_M):
+        js = np.array([j for j, _ in cents[s]], dtype=np.int64)
+        C = np.array([v for _, v in cents[s]], dtype=np.int64).reshape(
+            len(cents[s]), PQ_D
+        )
+        out[s] = (js, C)
+    return out
+
+
+def _quantize_np(V):
+    """numpy twin of the _q_scale/_q_vec expressions — the same IEEE
+    double ops in the same order as quantize.quantize_vec (the proven
+    driver-side twin): exact |x| max, ONE double divide for the scale,
+    floor(x/scale + 0.5) per element, clamp to the int8 range. Input
+    float64 (n, d) -> int64 (n, d); elementwise IEEE arithmetic is
+    engine-independent, so this is bit-identical to the expression
+    form (pinned in tests/test_pq.py)."""
+    import numpy as np
+
+    maxabs = np.abs(V).max(axis=1)
+    scale = np.where(maxabs == 0.0, 1.0, maxabs / QUANT_MAX)
+    q = np.floor(V / scale[:, None] + 0.5)
+    return np.clip(q, -QUANT_MAX, QUANT_MAX).astype(np.int64)
+
+
+def _emb_to_q(embs):
+    """Arrow batch of raw embedding arrays -> quantized int64 matrix."""
+    import numpy as np
+
+    V = np.array(embs.tolist(), dtype=np.float64)
+    return _quantize_np(V)
+
+
+def _codes_from_q(Q, npc):
+    """Integer argmin encode per subspace over the broadcast codebook;
+    ties to smallest j via np.argmin's first-minimum rule."""
+    import numpy as np
+
+    out = np.empty((len(Q), PQ_M), dtype=np.int32)
+    for s in range(PQ_M):
+        js, C = npc[s]
+        sub = Q[:, s * PQ_D : (s + 1) * PQ_D]
+        d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out[:, s] = js[np.argmin(d2, axis=1)]
+    return out
+
+
+def _codes_kernel_udf(cents: dict[int, list[tuple[int, list[int]]]]):
+    """Arrow-batched quantize+encode kernel (the VERDICT r5 #3
+    re-lowering): the collected codebook ships once in the UDF closure;
+    quantization and the per-row integer argmin run as numpy broadcasts
+    — replacing the `aggregate(sequence(...))` literal trees Spark
+    evaluates interpreted with zero codegen (~3 ms/vector), AND the
+    _QVEC projection whose scale aggregate re-evaluates per element in
+    interpreted HOF eval. Bit-identical to the literal spec (pinned in
+    tests/test_pq.py). Input: the RAW embedding column."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    npc = _np_cents(cents)
+
+    @pandas_udf("array<int>")
+    def codes(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(_codes_from_q(_emb_to_q(embs), npc)))
+
+    return codes
+
+
+def _assign_qvec_kernel_udf(cents: dict[int, list[tuple[int, list[int]]]]):
+    """Codebook-training kernel: quantize + assign in one Arrow pass,
+    emitting BOTH the assignment vector and the quantized components
+    (the Lloyd component sums downstream need qvec, and computing it
+    here avoids a second interpreted _QVEC evaluation)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    npc = _np_cents(cents)
+
+    @pandas_udf("asg array<int>, qvec array<int>")
+    def assign_qvec(embs):
+        if len(embs) == 0:
+            return pd.DataFrame({"asg": [], "qvec": []})
+        Q = _emb_to_q(embs)
+        asg = _codes_from_q(Q, npc)
+        return pd.DataFrame(
+            {"asg": list(asg), "qvec": list(Q.astype("int32"))}
+        )
+
+    return assign_qvec
+
+
+def _adc_exact_kernel_udf(
+    cents: dict[int, list[tuple[int, list[int]]]],
+    luts: list[list[int]],
+    qv: list[int],
+):
+    """Arrow-batched ADC scan kernel: quantize + encode (argmin per
+    subspace) + LUT-sum approximate distance + exact int-L2 to the
+    query, one numpy pass per batch, emitted as [adc_dist, exact_dist].
+    Integer-identical to the literal expression chain in the spec
+    path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    npc = _np_cents(cents)
+    L = [np.array(lut, dtype=np.int64) for lut in luts]
+    qarr = np.array(qv, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def adc_exact(embs):
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        Q = _emb_to_q(embs)
+        codes = _codes_from_q(Q, npc)
+        adc = np.zeros(len(Q), dtype=np.int64)
+        for s in range(PQ_M):
+            adc += L[s][codes[:, s]]
+        exact = ((Q - qarr[None, :]) ** 2).sum(axis=1)
+        return pd.Series(list(np.stack([adc, exact], axis=1)))
+
+    return adc_exact
+
+
+def pq_codebooks(
+    embeddings: DataFrame, use_kernel: bool = True, _init=None
+) -> DataFrame:
     """One Lloyd iteration from the deterministic init ->
-    (sub, j, pos, val, n_members); empty clusters emit no rows."""
+    (sub, j, pos, val, n_members); empty clusters emit no rows.
+
+    use_kernel=True (production) runs the assignment argmin in the
+    Arrow-batched numpy kernel; False keeps the literal-expression spec
+    (interpreted HOF trees — the oracle twin, equality-pinned in
+    tests/test_pq.py)."""
     q = quantized(embeddings)
-    init = _init_centroids(q)
-    assigns = [
-        F.expr(_argmin_code_expr(s, init[s])).alias(f"a{s}")
-        for s in range(PQ_M)
-    ]
-    a = q.select("vec_id", "qvec", *assigns)
-    comp0 = a.select(
-        F.posexplode("qvec").alias("pos0", "val"),
-        F.expr(
-            "array(" + ", ".join(f"a{s}" for s in range(PQ_M)) + ")"
-        ).alias("asg"),
-    )
+    init = _init if _init is not None else _init_centroids(q)
+    if use_kernel:
+        a = embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _assign_qvec_kernel_udf(init)("embedding").alias("r"),
+        )
+        comp0 = a.select(
+            F.posexplode(F.col("r.qvec")).alias("pos0", "val"),
+            F.col("r.asg").alias("asg"),
+        )
+    else:
+        assigns = [
+            F.expr(_argmin_code_expr(s, init[s])).alias(f"a{s}")
+            for s in range(PQ_M)
+        ]
+        a = q.select("vec_id", "qvec", *assigns)
+        comp0 = a.select(
+            F.posexplode("qvec").alias("pos0", "val"),
+            F.expr(
+                "array(" + ", ".join(f"a{s}" for s in range(PQ_M)) + ")"
+            ).alias("asg"),
+        )
     comp = comp0.select(
         "val",
         F.expr(f"element_at(asg, int(pos0 div {PQ_D}) + 1)").alias("j"),
@@ -136,9 +298,13 @@ def pq_codebooks(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _final_centroids(embeddings: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
+def _final_centroids(
+    embeddings: DataFrame, use_kernel: bool = True, _init=None
+) -> dict[int, list[tuple[int, list[int]]]]:
     """Collect the trained codebook (bounded: <= m*k*d rows)."""
-    rows = pq_codebooks(embeddings).collect()
+    rows = pq_codebooks(
+        embeddings, use_kernel=use_kernel, _init=_init
+    ).collect()
     by_sj: dict[tuple[int, int], dict[int, int]] = {}
     for r in rows:
         by_sj.setdefault((r.sub, r.j), {})[r.pos] = r.val
@@ -149,11 +315,24 @@ def _final_centroids(embeddings: DataFrame) -> dict[int, list[tuple[int, list[in
     return out
 
 
-def pq_codes(embeddings: DataFrame) -> DataFrame:
+def pq_codes(embeddings: DataFrame, use_kernel: bool = True) -> DataFrame:
     """Encode every vector against the trained codebook ->
-    (vec_id, sub, code)."""
-    cents = _final_centroids(embeddings)
+    (vec_id, sub, code). Kernel path: one Arrow argmin pass, codes
+    exploded relationally; literal path kept as the spec twin."""
+    cents = _final_centroids(embeddings, use_kernel=use_kernel)
     q = quantized(embeddings)
+    if use_kernel:
+        coded = embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _codes_kernel_udf(cents)("embedding").alias("codes"),
+        )
+        return coded.select(
+            "vec_id", F.posexplode("codes").alias("sub", "code")
+        ).select(
+            "vec_id",
+            F.col("sub").cast("long").alias("sub"),
+            F.col("code").cast("long").alias("code"),
+        )
     cols = [
         F.expr(_argmin_code_expr(s, cents[s])).alias(f"c{s}")
         for s in range(PQ_M)
@@ -169,14 +348,32 @@ def _int_sq_dist(a: list[int], b: list[int]) -> int:
     return sum((int(x) - int(y)) * (int(x) - int(y)) for x, y in zip(a, b))
 
 
-def pq_adc_topk(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
+def pq_adc_topk(
+    spark: SparkSession, embeddings: DataFrame, use_kernel: bool = True
+) -> DataFrame:
     """ADC scan + exact int-L2 rerank for the fixed gate query
     (vec_id PQ_QUERY_ID) -> top PQ_TOPK of (vec_id, adc_dist,
-    exact_dist), ordered by (exact_dist, vec_id)."""
-    cents = _final_centroids(embeddings)
+    exact_dist), ordered by (exact_dist, vec_id).
+
+    Kernel path (production): encode + LUT-sum ADC + exact int-L2 run in
+    one Arrow-batched numpy pass over the broadcast codebook, then two
+    TakeOrderedAndProject cuts. Computing exact_dist for every row
+    instead of candidates-only is value-identical (the rerank reads the
+    same integers) and removes the second interpreted pass. The literal
+    expression chain below stays as the spec/oracle twin."""
     q = quantized(embeddings)
-    qrow = q.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]
-    qv = list(qrow.qvec)
+    # one bounded collect serves both the codebook init and the query
+    # vector (PQ_QUERY_ID < PQ_K by construction) — was two driver jobs
+    irows = _init_rows(q)
+    cents = _final_centroids(
+        embeddings, use_kernel=use_kernel, _init=_init_from_rows(irows)
+    )
+    if PQ_QUERY_ID in irows:
+        qv = list(irows[PQ_QUERY_ID])
+    else:  # pragma: no cover — gate config pins PQ_QUERY_ID < PQ_K
+        qv = list(
+            q.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0].qvec
+        )
     # per-subspace LUT by centroid id j (k slots; absent j -> sentinel 0,
     # unreachable because codes only name existing centroids)
     luts = []
@@ -186,6 +383,25 @@ def pq_adc_topk(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
         for j, vec in cents[s]:
             lut[j] = _int_sq_dist(sub_q, vec)
         luts.append(lut)
+    if use_kernel:
+        scored = embeddings.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _adc_exact_kernel_udf(cents, luts, qv)("embedding").alias("ae"),
+        ).select(
+            "vec_id",
+            F.element_at("ae", 1).alias("adc_dist"),
+            F.element_at("ae", 2).alias("exact_dist"),
+        )
+        cand = scored.orderBy("adc_dist", "vec_id").limit(PQ_NCAND)
+        return (
+            cand.orderBy("exact_dist", "vec_id")
+            .limit(PQ_TOPK)
+            .select(
+                "vec_id",
+                F.col("adc_dist").cast("long").alias("adc_dist"),
+                F.col("exact_dist").cast("long").alias("exact_dist"),
+            )
+        )
     code_cols = [
         F.expr(_argmin_code_expr(s, cents[s])).alias(f"c{s}")
         for s in range(PQ_M)

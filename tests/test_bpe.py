@@ -225,3 +225,17 @@ def test_bpe_encode_null_and_empty(spark):
     assert got[0]["n_tokens"] == 0 and got[0]["tokens"] == ""
     assert got[1]["n_tokens"] == 0
     assert got[3]["tokens"] == "a b </w>"
+
+
+def test_bpe_learn_arms_equal(spark):
+    """r6 hybrid pin: the in-process dictionary arm (the production
+    path when the vocab fits BPE_DICT_BUDGET) and the distributed
+    per-merge loop (dict_budget=0 forces it) learn the identical merge
+    table on the hand corpus and the real sf0.001 corpus."""
+    for df in (_mk(spark, HAND), spark.read.parquet(f"{SF}/documents.parquet")):
+        local = [tuple(r) for r in B.bpe_learn(spark, df, 8).collect()]
+        dist = [
+            tuple(r)
+            for r in B.bpe_learn(spark, df, 8, dict_budget=0).collect()
+        ]
+        assert local == dist and len(local) > 0

@@ -62,3 +62,24 @@ def test_encode_is_projection(spark):
     plan = physical_plan(coded)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kernel_equals_literal_spec(spark):
+    """r6 re-lowering pin: the Arrow-batched numpy kernel path
+    (use_kernel=True, the production lowering) is bit-identical to the
+    literal-expression spec twin on every PQ relation — quantization,
+    codebook training, encode, ADC and exact rerank all integer/IEEE
+    -identical."""
+    emb = _embeds(spark)
+    for fn, key in (
+        (lambda u: pq.pq_codebooks(emb, use_kernel=u), ["sub", "j", "pos"]),
+        (lambda u: pq.pq_codes(emb, use_kernel=u), ["vec_id", "sub"]),
+        (lambda u: pq.pq_adc_topk(spark, emb, use_kernel=u), None),
+    ):
+        k = fn(True)
+        l = fn(False)
+        if key is not None:
+            k, l = k.orderBy(*key), l.orderBy(*key)
+        assert [tuple(r) for r in k.collect()] == [
+            tuple(r) for r in l.collect()
+        ]
