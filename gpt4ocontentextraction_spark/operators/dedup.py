@@ -1275,45 +1275,44 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 25) -> DataFrame:
     # materialization; with pairs cached, the union is two cheap cache
     # reads re-evaluated per iteration
     pairs = cached.track(minhash_lsh_pairs(docs).select("id_a", "id_b"))
-    edges = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
     nodes = _variant_corpus(docs).select(
         F.col("doc_id").cast("long").alias("id")
     )
-    labels = cached.track(
-        nodes.select("id", F.col("id").alias("label"), F.lit(0).alias("chg"))
+    # Self-loops folded into the edge list make each round ONE
+    # equality join + ONE aggregate: min over (self ∪ neighbors) labels
+    # IS least(own, neighbor-min), so the r5 form's second (left) join
+    # and per-row change flags disappear (measured: each round cost
+    # ~1.2-1.4 s of mostly plan/stage overhead at sf0.1).
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).unionByName(
+        nodes.select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
     )
+    labels = cached.track(nodes.select("id", F.col("id").alias("label")))
+    # Convergence rides the materializing action as before, but as the
+    # LABEL-SUM fixpoint: per-node labels are monotone nonincreasing
+    # (min over a set containing the old label), so the sum is strictly
+    # decreasing until the fixpoint and equal exactly there — no change
+    # column, no second join. SUM of zero rows is NULL == NULL: an
+    # empty corpus converges immediately rather than crashing the cap.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iters):
-        neigh_min = (
+        new_labels = cached.track(
             edges.join(labels, edges["id_b"] == labels["id"])
             .groupBy("id_a")
-            .agg(F.min("label").alias("nmin"))
+            .agg(F.min("label").alias("label"))
+            .select(F.col("id_a").alias("id"), "label")
         )
-        new_labels = cached.track(
-            labels.join(neigh_min, labels["id"] == neigh_min["id_a"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nmin"), labels["label"])
-                ).alias("label"),
-                (
-                    F.coalesce(F.col("nmin"), labels["label"])
-                    < labels["label"]
-                ).cast("long").alias("chg"),
-            )
-        )
-        n_changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         # drop ONLY the pre-iteration label persist; new_labels stays
         # tracked as the next iteration's input / the returned relation
         cached.release_entry(labels)
         labels = new_labels
-        # SUM over zero rows is NULL: an empty corpus is converged, not
-        # a 25-iteration crash
-        if not n_changed:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iters} iterations"

@@ -15,6 +15,8 @@ is a sequential IEEE-double fold — bit-identical to the DuckDB oracle's
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -462,14 +464,20 @@ def _band_keys_udf(bands: int = EMB_BANDS, band_bits: int = EMB_BAND_BITS):
     """Arrow-vectorized band-key computation: W[j,k] = (((9176(k+1) +
     5171(j+1)^2 + 13) mod P) / P) - 0.5 is the deterministic hyperplane
     matrix (sole definition of the planes), signature = sign of V @ W,
-    each `band_bits`-bit band packed to an int key."""
+    each `band_bits`-bit band packed WITH its band index into one LONG
+    key `(b << band_bits) | bits` — injective per (band, bits), so
+    equality on the long is equality on the (band, bits) pair, and 8
+    bytes ride the exchange instead of a ~10-char string (guide §2.3,
+    narrower types). Returns the full per-vector signature (array of
+    `bands` keys) so candidate generation can apply the first-matching-
+    band rule without a distinct."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     assert bands * band_bits <= EMB_PLANES
 
-    @pandas_udf("array<string>")
+    @pandas_udf("array<long>")
     def band_keys(v):
         if len(v) == 0:
             return pd.Series([], dtype=object)
@@ -483,14 +491,77 @@ def _band_keys_udf(bands: int = EMB_BANDS, band_bits: int = EMB_BAND_BITS):
         ) / float(_EMB_P) - 0.5
         bits = (V @ W) > 0
         weights = 1 << np.arange(band_bits)
-        per_band = []
+        keys = np.empty((len(V), bands), dtype=np.int64)
         for b in range(bands):
             seg = bits[:, b * band_bits: (b + 1) * band_bits]
-            ids = seg @ weights
-            per_band.append([f"{b}_{int(x)}" for x in ids])
-        return pd.Series([list(t) for t in zip(*per_band)])
+            keys[:, b] = (b << band_bits) | (seg @ weights)
+        return pd.Series(list(keys))
 
     return band_keys
+
+
+# Bounded-collect budget (vector COUNT) for the ids-only verify matrix:
+# below it the variant corpus is collected once and candidate cosines
+# are computed from the broadcast matrix with only (id_a, id_b) longs
+# crossing the Python boundary — measured at sf0.1 the per-pair join
+# form shipped ~2.3 GB of vector payload through Arrow for 2.3M
+# candidates (guide §8: decide with small rows, move big rows never).
+# Above the budget the join form below remains the path (same rows).
+EMB_VERIFY_MATRIX_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_EMB_MATRIX_BUDGET", str(1 << 16))
+)
+
+
+def _cos_ids_udf(ids, M, ok_row):
+    """Pair cosine addressed by vector id against the broadcast matrix:
+    exactly _cos_pairs_udf's sequential per-dimension IEEE fold (same
+    bit-identical contract vs the expression spec and the DuckDB
+    oracle), but the pair join ships two longs per candidate instead of
+    two dim-length double arrays. `ids` is row-aligned with M; lookups
+    run through a vectorized pandas Index (no per-row Python map)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    index = pd.Index(np.asarray(ids, dtype=np.int64))
+
+    @pandas_udf("double")
+    def cos_ids(ia, ib):
+        if len(ia) == 0:
+            return pd.Series([], dtype="float64")
+        xa = index.get_indexer(ia.to_numpy())
+        xb = index.get_indexer(ib.to_numpy())
+        good = (xa >= 0) & (xb >= 0)
+        out = np.full(len(ia), np.nan)
+        valid_out = np.zeros(len(ia), dtype=bool)
+        if good.any():
+            ga = xa[good]
+            gb = xb[good]
+            valid = ok_row[ga] & ok_row[gb]
+            A = M[ga]
+            B = M[gb]
+            n = A.shape[0]
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(M.shape[1]):  # sequential over dims = fold order
+                x, y = A[:, i], B[:, i]
+                dot += x * y
+                na += x * x
+                nb += y * y
+            sims = dot / (np.sqrt(na) * np.sqrt(nb))
+            out[good] = sims
+            valid_out[good] = valid
+        # object Series with None for invalid rows — the exact null
+        # semantics of _cos_pairs_udf (NaN sims stay NaN floats there
+        # too, so nothing is coerced)
+        res = [
+            (float(out[i]) if valid_out[i] else None)
+            for i in range(len(ia))
+        ]
+        return pd.Series(res, dtype="object")
+
+    return cos_ids
 
 
 def emb_lsh_candidate_recall(
@@ -538,8 +609,9 @@ def embedding_neardup_lsh(
     `threshold` — quantify it with emb_lsh_candidate_recall() and size
     `bands`/`band_bits` to the similarity that must be caught (see
     EMB_LSH_RELIABLE_SIM for the default geometry's reliable level)."""
-    # consumed three times (band keys + both verify sides) — persist, or
-    # the variant construction re-evaluates per reference
+    # consumed by the signature pass + the verify matrix collect (or
+    # both join sides on the fallback) — persist, or the variant
+    # construction re-evaluates per reference
     vecs = track(_variant_embeddings(_emb(spark, sf_dir)))
     # Sign bits of the K projections. This is a dense matmul (n x D @
     # D x K) — the one shape Catalyst cannot express efficiently: lambda
@@ -553,17 +625,78 @@ def embedding_neardup_lsh(
     keyed = track(
         vecs.select(
             "vec_id",
-            F.explode(_band_keys_udf(bands, band_bits)("v")).alias("band_key"),
+            _band_keys_udf(bands, band_bits)("v").alias("bands"),
+        ).select(
+            "vec_id",
+            "bands",
+            F.posexplode("bands").alias("bidx", "band_key"),
         )
     )
-    a = keyed.select(F.col("vec_id").alias("id_a"), "band_key")
-    b = keyed.select(F.col("vec_id").alias("id_b"), "band_key")
-    cand = (
-        a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")  # ids only: vectors don't ride the shuffle
-        .distinct()
+    a = keyed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("bands").alias("bands_a"),
+        "bidx",
+        "band_key",
     )
+    b = keyed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("bands").alias("bands_b"),
+        "band_key",
+    )
+    # First-matching-band rule replaces the distinct: a pair sharing m
+    # bands used to be emitted m times and deduplicated through a 9.2M-
+    # row exchange (measured, sf0.1); emitting it only from its FIRST
+    # shared band yields the identical candidate SET with no exchange
+    # at all (the join build side broadcasts). The guard is a codegen'd
+    # conjunction over the earlier bands of the two signature arrays.
+    first_match = F.lit(True)
+    for i in range(bands - 1):
+        first_match = first_match & (
+            (F.col("bidx") <= i)
+            | (
+                F.element_at("bands_a", i + 1)
+                != F.element_at("bands_b", i + 1)
+            )
+        )
+    # Round-robin spread of the (tiny) exploded signature relation
+    # before the broadcast join: the probe side otherwise inherits the
+    # 1-2 scan partitions of the small parquet input, and the join's
+    # multi-million-pair OUTPUT — where all verify compute happens —
+    # would run on 1-2 cores. The exchange moves only n*bands key rows;
+    # the pair fan-out and the cosine kernel then parallelize across
+    # the session's cores (scale-adaptive, not a constant).
+    n_spread = max(spark.sparkContext.defaultParallelism, 8)
+    cand = (
+        a.repartition(n_spread)
+        .join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match)
+        .select("id_a", "id_b")  # ids only: vectors don't ride the plan
+    )
+    # Verify: ids-only against the bounded broadcast matrix when the
+    # corpus fits the budget (the IVF literal-budget dispatch pattern);
+    # per-pair vector join above it.
+    head = vecs.limit(EMB_VERIFY_MATRIX_BUDGET + 1).collect()
+    if len(head) <= EMB_VERIFY_MATRIX_BUDGET:
+        import numpy as np
+
+        dims = {len(r.v) for r in head if r.v is not None}
+        dim = max(dims) if dims else 0
+        M = np.zeros((len(head), dim), dtype=np.float64)
+        ok_row = np.zeros(len(head), dtype=bool)
+        ids = np.empty(len(head), dtype=np.int64)
+        for i, r in enumerate(head):
+            ids[i] = r.vec_id
+            if r.v is not None and len(r.v) == dim:
+                M[i] = r.v
+                ok_row[i] = True
+        return cand.select(
+            "id_a",
+            "id_b",
+            F.round(
+                _cos_ids_udf(ids, M, ok_row)("id_a", "id_b"), 6
+            ).alias("sim"),
+        ).filter(F.col("sim") >= threshold)
     va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (

@@ -65,4 +65,19 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The engine's bounded global windows (top-k cumulative sums, block-
+    # total prefix sums — see tests/test_plans.py's window sweep, which
+    # pins every unpartitioned WindowExec input to k/blocked rows by
+    # construction) each emit a "No Partition Defined ... may cause
+    # serious performance degradation" WARN; across a 68-query bench
+    # tail that flood drowns real signal (VERDICT r5 #7). Raise just
+    # that operator's logger to ERROR — the plan-pin test remains the
+    # actual guard against a corpus-scale unpartitioned window.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        ).setLevel(jvm.org.apache.log4j.Level.ERROR)
+    except Exception:
+        pass  # logging backend unavailable/renamed: cosmetic only
     return spark
