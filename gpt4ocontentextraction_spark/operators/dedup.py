@@ -303,7 +303,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     twice more, so without materialization the encoder would run 4x over
     the corpus. At cluster scale this is the signature TABLE a real
     dedup pipeline writes once and joins against."""
-    corpus = _variant_corpus(docs)
+    from .partitioning import spread_small_scan
+
+    corpus = spread_small_scan(_variant_corpus(docs))
     _, _, encode = _minhash_encode_udf()
     enc = track(corpus.select("doc_id", encode("text").alias("e")))
     base = enc.select("doc_id", F.col("e.sh").alias("sh"))
@@ -415,15 +417,113 @@ element_at(transform(array({_WORD_HASHES}), wh ->
 """
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """Relational simhash: explode words, ONE codegen'd aggregation with
-    32 per-bit vote sums (map-side partial combine), reassemble the
-    fingerprint. Higher-order-function lambdas run interpreted in
-    Catalyst, so the equivalent single-expression form
-    (_SIMHASH_EXPR, kept below for reference) costs 32 interpreted ops
-    per word — 5-10x slower on real corpora; this form keeps the whole
-    vote loop inside whole-stage codegen at the cost of one doc_id
-    shuffle."""
+def _np_polyhash(uniques, mult: int):
+    """Vectorized polyhash over unique words — the numpy twin of
+    spark_polyhash/spark_polyhash37: per-character contributions
+    cp * mult^(L-1-i) mod M summed and re-reduced mod M are congruent
+    to (and bounded like) the left fold both engines run. The same
+    construction the MinHash encoder (_shingle_core) has used since r2
+    (gate-verified incl. CJK), generalized over the multiplier."""
+    import numpy as np
+
+    lens = np.array([len(u) for u in uniques], dtype=np.int64)
+    max_len = int(lens.max()) if len(lens) else 0
+    powm = np.ones(max_len + 1, dtype=np.int64)
+    for k in range(1, max_len + 1):
+        powm[k] = powm[k - 1] * mult % MOD
+    ph = np.zeros(len(uniques), dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        joined = "".join(uniques[nz])
+        cp = np.frombuffer(
+            joined.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        lz = lens[nz]
+        ends = np.cumsum(lz)
+        starts = ends - lz
+        pos_from_end = np.repeat(ends, lz) - 1 - np.arange(len(cp))
+        contrib = cp * powm[pos_from_end] % MOD
+        ph[nz] = np.add.reduceat(contrib, starts) % MOD
+    return ph
+
+
+def _simhash_kernel_udf(width: int):
+    """Arrow-batched SimHash kernel (32- or 64-bit): per-batch word
+    split + factorized polyhash (the proven _shingle_core machinery) +
+    one ±1 vote reduction per doc — integer-identical to the relational
+    vote aggregation (equality pinned in tests/test_dedup_forms.py) but
+    a ZERO-SHUFFLE projection: no word explode, no 32/64-SUM aggregate,
+    no doc_id exchange. The relational/expression forms stay as the
+    spec twins."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash_kernel(texts):
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        words_per_doc = [t.split(" ") for t in texts.tolist()]
+        wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+        flat = [w for ws in words_per_doc for w in ws]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uniques = np.asarray(uniques, dtype=object)
+        h1 = _np_polyhash(uniques, 31)[codes]
+        if width == 32:
+            shifts = np.arange(32, dtype=np.int64)
+            B = (((h1[:, None] >> shifts[None, :]) & 1) * 2 - 1).astype(
+                np.int64
+            )
+        else:
+            h2 = _np_polyhash(uniques, 37)[codes]
+            mix = (h1 * 31 + h2) % MOD
+            cols = []
+            for j in range(64):
+                if j < 31:
+                    src, k = h1, j
+                elif j == 31:
+                    src, k = mix, 0
+                elif j < 63:
+                    src, k = h2, j - 32
+                else:
+                    src, k = mix, 1
+                cols.append((src >> k) & 1)
+            B = (np.stack(cols, axis=1) * 2 - 1).astype(np.int64)
+        bounds = np.cumsum(wc) - wc
+        votes = np.add.reduceat(B, bounds, axis=0)
+        pos = (votes > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(
+            B.shape[1], dtype=np.uint64
+        )
+        fp = (pos * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        # uint64 -> two's-complement int64: bit 63's weight becomes the
+        # relational form's MIN_LONG contribution exactly
+        return pd.Series(fp.view(np.int64))
+
+    return simhash_kernel
+
+
+def simhash_fingerprints(docs: DataFrame, use_kernel: bool = True) -> DataFrame:
+    """SimHash fingerprints. use_kernel=True (production): one Arrow
+    projection per batch (zero Exchange — see _simhash_kernel_udf),
+    null-text docs filtered exactly as the word explode drops them.
+    use_kernel=False: the relational form — explode words, ONE codegen'd
+    aggregation with 32 per-bit vote sums (map-side partial combine),
+    reassemble the fingerprint; kept as the distributed spec twin
+    (higher-order-function lambdas run interpreted in Catalyst, so the
+    single-expression form _SIMHASH_EXPR costs 32 interpreted ops per
+    word — both spec forms are equality-pinned in tests)."""
+    if use_kernel:
+        from .partitioning import spread_small_scan
+
+        return spread_small_scan(
+            docs.filter(F.col("text").isNotNull()).select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            )
+        ).select(
+            "doc_id", _simhash_kernel_udf(32)("text").alias("simhash")
+        )
     words = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.split("text", " ")).alias("w"),
@@ -474,34 +574,70 @@ def simhash_pairs_banded(
     Runs over the deterministic variant corpus (base docs + truncated
     variants) so true near-dup pairs exist at gate scale.
     """
-    # the a/b self-join consumes fp twice; without persist the whole
-    # explode-words + 32-vote aggregation would evaluate twice
+    # the a/b self-join consumes fp twice; without persist the kernel
+    # projection would evaluate twice
     fp = track(simhash_fingerprints(_variant_corpus(docs)))
-    mask = (1 << SIMHASH_BAND_BITS) - 1
-    band_expr = (
-        f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> concat_ws('_',"
-        f" cast(b as string),"
-        f" cast((shiftright(simhash, b * {SIMHASH_BAND_BITS}) & {mask})"
-        f" as string)))"
+    return _simhash_banded_pairs(
+        fp, "simhash", SIMHASH_BANDS, SIMHASH_BAND_BITS, max_dist
+    )
+
+
+def _simhash_banded_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    bands_n: int,
+    band_bits: int,
+    max_dist: int,
+) -> DataFrame:
+    """Banded candidate generation + exact hamming verify, shared by the
+    32- and 64-bit forms.
+
+    r6 lowering (guide §2.3/§2.4): band keys are PACKED LONGS
+    (b * 2^bits + band value — injective, so long equality IS (band,
+    value) equality) instead of strings, and a pair is emitted only
+    from its FIRST matching band — the guard recomputes earlier bands
+    from the two fingerprints with codegen'd shift/mask arithmetic —
+    which yields the identical candidate SET without the distinct
+    (measured at sf0.1: a 40M-pair dedup exchange on the 8-bit form).
+    The tiny exploded relation is round-robin spread before the
+    broadcast join so the pair fan-out uses every core."""
+    mask = (1 << band_bits) - 1
+    keys = (
+        f"transform(sequence(0, {bands_n - 1}), b ->"
+        f" (cast(b as bigint) * {mask + 1}L) +"
+        f" (shiftright({fp_col}, b * {band_bits}) & {mask}))"
     )
     bands = fp.select(
-        "doc_id", "simhash", F.explode(F.expr(band_expr)).alias("band_key")
+        "doc_id",
+        F.col(fp_col).alias("fpv"),
+        F.posexplode(F.expr(keys)).alias("bidx", "band_key"),
     )
     a = bands.select(
         F.col("doc_id").alias("id_a"),
-        F.col("simhash").alias("fp_a"),
+        F.col("fpv").alias("fp_a"),
+        "bidx",
         "band_key",
     )
     b = bands.select(
         F.col("doc_id").alias("id_b"),
-        F.col("simhash").alias("fp_b"),
+        F.col("fpv").alias("fp_b"),
         "band_key",
     )
+    first_match = F.lit(True)
+    for i in range(bands_n - 1):
+        first_match = first_match & (
+            (F.col("bidx") <= i)
+            | (
+                F.expr(f"(shiftright(fp_a, {i * band_bits}) & {mask})")
+                != F.expr(f"(shiftright(fp_b, {i * band_bits}) & {mask})")
+            )
+        )
+    n_spread = max(fp.sparkSession.sparkContext.defaultParallelism, 8)
     cand = (
-        a.join(b, "band_key")
+        a.repartition(n_spread)
+        .join(b, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
+        .filter(first_match)
     )
     return cand.select(
         "id_a",
@@ -550,13 +686,25 @@ def _simhash64_bit_expr(j: int) -> str:
     return "((shiftright((h1 * 31 + h2) % 2147483647, 1)) & 1) = 1"
 
 
-def simhash64_fingerprints(docs: DataFrame) -> DataFrame:
-    """64-bit relational simhash: explode words, hash twice (31- and
-    37-multiplier polyhash) plus a mix hash for the two slots the 31-bit
-    hashes cannot fill (_simhash64_bit_expr), ONE codegen'd aggregation
-    with 64 per-bit vote sums, reassemble. Bit 63's contribution is the
-    two's-complement -2^63 so the fingerprint stays a plain BIGINT on
-    both engines."""
+def simhash64_fingerprints(docs: DataFrame, use_kernel: bool = True) -> DataFrame:
+    """64-bit SimHash fingerprints: two polyhash folds (31/37) plus the
+    mix hash for the two slots 31-bit hashes cannot fill
+    (_simhash64_bit_expr). use_kernel=True (production): zero-shuffle
+    Arrow kernel (_simhash_kernel_udf); False: the relational form —
+    explode words, ONE codegen'd aggregation with 64 per-bit vote sums,
+    reassemble (the distributed spec twin, equality-pinned in tests).
+    Bit 63's contribution is the two's-complement -2^63 so the
+    fingerprint stays a plain BIGINT on both engines."""
+    if use_kernel:
+        from .partitioning import spread_small_scan
+
+        return spread_small_scan(
+            docs.filter(F.col("text").isNotNull()).select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            )
+        ).select(
+            "doc_id", _simhash_kernel_udf(64)("text").alias("simhash64")
+        )
     from ..functions.hashing import spark_polyhash, spark_polyhash37
 
     words = docs.select(
@@ -590,38 +738,12 @@ def simhash64_pairs_banded(
     band equality-join candidates, exact hamming verify. Pigeonhole:
     4 bands > max_dist=3 => recall=1, proven by gate equality with the
     exact all-pairs oracle over the uncapped variant corpus."""
-    # self-joined twice below — persist, or the 64-vote aggregation
-    # (the expensive part) runs once per side
+    # self-joined twice below — persist, or the fingerprint kernel runs
+    # once per side
     fp = track(simhash64_fingerprints(_variant_corpus(docs)))
-    mask = (1 << SIMHASH64_BAND_BITS) - 1
-    band_expr = (
-        f"transform(sequence(0, {SIMHASH64_BANDS - 1}), b -> concat_ws('_',"
-        f" cast(b as string),"
-        f" cast((shiftright(simhash64, b * {SIMHASH64_BAND_BITS}) & {mask})"
-        f" as string)))"
+    return _simhash_banded_pairs(
+        fp, "simhash64", SIMHASH64_BANDS, SIMHASH64_BAND_BITS, max_dist
     )
-    bands = fp.select(
-        "doc_id", "simhash64", F.explode(F.expr(band_expr)).alias("band_key")
-    )
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash64").alias("fp_a"), "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash64").alias("fp_b"), "band_key"
-    )
-    cand = (
-        a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
-    )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-        .cast("long")
-        .alias("hamming"),
-    ).filter(F.col("hamming") <= max_dist)
 
 
 def simhash_pairs(docs: DataFrame, max_doc_id: int = 300, max_dist: int = 8) -> DataFrame:
@@ -1867,8 +1989,12 @@ def _minhash_encode(docs: DataFrame):
     """(bands, sh) relations for one side — the vectorized encoder,
     track()-persisted exactly like minhash_lsh_pairs (both relations
     read the encoding)."""
+    from .partitioning import spread_small_scan
+
     _, _, encode = _minhash_encode_udf()
-    enc = track(docs.select("doc_id", encode("text").alias("e")))
+    enc = track(
+        spread_small_scan(docs).select("doc_id", encode("text").alias("e"))
+    )
     return (
         enc.select("doc_id", F.explode(F.col("e.bands")).alias("band_key")),
         enc.select("doc_id", F.col("e.sh").alias("sh")),
