@@ -476,14 +476,22 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     fingerprint (the winnowing coverage theorem), with expected density
     2/(w+1) of all grams.
 
-    Scale shape: a single shuffle-free projection (plan-pinned) — the
+    Scale shape: a shuffle-free projection at corpus scale — the
     selection runs in one Arrow-batched integer kernel per document
     batch (`_winnow_udf`; the equivalent JVM expression `_WINNOW_EXPR`
     is the spec, equality-pinned in tests), so it pipelines with the
-    parquet scan at any corpus size. Docs shorter than k hash
-    whole-text, as in `fingerprints`; NULL text yields no rows."""
-    sel = docs.filter(F.col("text").isNotNull()).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    parquet scan at any corpus size (spread_small_scan adds an exchange
+    only below session parallelism — the unsplittable gate input).
+    Docs shorter than k hash whole-text, as in `fingerprints`; NULL
+    text yields no rows."""
+    from .partitioning import spread_small_scan
+
+    sel = spread_small_scan(
+        docs.filter(F.col("text").isNotNull()).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    ).select(
+        "doc_id",
         F.explode(_winnow_udf()(F.col("text"))).alias("s"),
     )
     return sel.select(
@@ -491,6 +499,34 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         F.expr(f"s div {_WINNOW_SHIFT}L").cast("long").alias("pos"),
         (F.col("s") % F.lit(_WINNOW_SHIFT)).cast("long").alias("fp"),
     )
+
+
+def _winnow_doc_fps(docs: DataFrame) -> DataFrame:
+    """Per-doc DISTINCT selected hashes — (doc_id, fp) with fp unique
+    within each document, straight from the kernel: the selected set is
+    already computed per doc, so dropping positions and deduplicating
+    inside the batch replaces winnow_overlap_pairs' corpus-wide
+    (doc_id, fp) distinct — a 526k-row exchange at sf0.1 — with zero
+    additional shuffle. Value-identical to
+    winnow_fingerprints(docs).select('doc_id','fp').distinct()."""
+    from .partitioning import spread_small_scan
+
+    sel = spread_small_scan(
+        docs.filter(F.col("text").isNotNull()).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _winnow_udf()(F.col("text")),
+                    lambda s: s % F.lit(_WINNOW_SHIFT),
+                )
+            )
+        ).alias("fp"),
+    )
+    return sel.select("doc_id", F.col("fp").cast("long").alias("fp"))
 
 
 def winnow_overlap_pairs(docs: DataFrame) -> DataFrame:
@@ -504,22 +540,27 @@ def winnow_overlap_pairs(docs: DataFrame) -> DataFrame:
     an all-pairs product).
 
     Scale shape: fingerprint extraction is the shuffle-free projection
-    above; one hash aggregate computes document frequency; the pair join
-    shuffles (fp, doc_id) ids only — text never moves. The final count
-    >= threshold is a map-side-combinable aggregate on (doc_a, doc_b)."""
+    above, with per-doc dedup inside the kernel (no corpus-wide
+    distinct); one hash aggregate computes document frequency; the HOT
+    fingerprints (df > cap) are removed with a broadcast anti-join —
+    the over-cap set is the Zipf head (boilerplate grams), orders of
+    magnitude smaller than the rare tail, so the survivors' relation
+    never re-shuffles before the pair join; the pair join shuffles
+    (fp, doc_id) ids only — text never moves. The final count >=
+    threshold is a map-side-combinable aggregate on (doc_a, doc_b)."""
     from ..cached import track
 
-    # the distinct fp relation feeds BOTH the df aggregate and the pair
-    # join; track()-persist so the kernel runs once (released by the
-    # gate wrapper / caller per the cached.py contract)
-    fps = track(winnow_fingerprints(docs).select("doc_id", "fp").distinct())
-    rare = (
+    # the per-doc-distinct fp relation feeds the df aggregate and both
+    # pair-join sides; track()-persist so the kernel runs once
+    # (released by the gate wrapper / caller per the cached.py contract)
+    fps = track(_winnow_doc_fps(docs))
+    hot = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .filter(F.col("df") > WINNOW_DF_CAP)
         .select("fp")
     )
-    f2 = fps.join(rare, "fp")
+    f2 = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = f2.select(F.col("doc_id").alias("doc_a"), "fp")
     b = f2.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
