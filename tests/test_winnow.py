@@ -115,9 +115,16 @@ def test_winnow_short_and_null_text(spark):
 
 
 def test_winnow_plan_is_shuffle_free_projection(spark):
+    """The selection itself never shuffles by key: the only Exchange
+    ever allowed is the r6 scan-parallelism floor's ROUND-ROBIN spread
+    of the unsplittable gate input (partitioning.spread_small_scan — a
+    no-op on any input that already carries session parallelism); no
+    hash/range exchange, no join, no window."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = physical_plan(T.winnow_fingerprints(docs))
-    assert "Exchange" not in p
+    if "Exchange" in p:
+        assert "RoundRobinPartitioning" in p, p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
     assert "Join" not in p and "Window" not in p
 
 
