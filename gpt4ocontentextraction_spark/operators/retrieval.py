@@ -1319,6 +1319,9 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
     worker roundtrip + scheduling; the counting itself is ~50 ms/5k
     docs, see BENCH/BASELINE.md tokenizer note)."""
     tf = _bm25_tf_udf()
+    # NOT spread: measured at sf0.1 the tokenizer's work (~50 ms) is far
+    # below the spread's probe+exchange overhead (~0.3 s) — see
+    # partitioning.spread_small_scan's docstring for where it pays.
     per_doc = track(docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         tf("text").alias("c"),
