@@ -204,15 +204,9 @@ def _word_ngrams(corpus: DataFrame, n: int) -> DataFrame:
     exploded corpus by doc_id before any aggregation — the exact trap
     that kernel's docstring names — so gram extraction here is a pure
     scan with zero pre-shuffle."""
-    from .dedup import _gram_spans_udf
+    from .dedup import _gram_rows
 
-    return corpus.select(
-        "doc_id", F.explode(_gram_spans_udf(n)("text")).alias("g")
-    ).select(
-        "doc_id",
-        F.col("g.pos").alias("pos"),
-        F.col("g.gram").alias("gram"),
-    )
+    return _gram_rows(corpus, n)
 
 
 def contamination_check(docs: DataFrame) -> DataFrame:

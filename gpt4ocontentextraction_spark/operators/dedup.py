@@ -930,20 +930,28 @@ DUP_NGRAM_MIN_COUNT = 2
 
 
 def _gram_spans_udf(n: int):
-    """Arrow-vectorized (pos, gram) extraction per document. The gram
-    construction deliberately does NOT use split+transform+slice HOF
-    lambdas (Catalyst runs them interpreted per element — the measured
-    trap) nor a lead()-window over exploded words (that shape shuffles
-    the exploded corpus by doc_id before any aggregation). A batch UDF
-    emits the grams with zero pre-shuffle; the only exchange in the
-    operator is the groupBy(gram) count itself. `" ".join(ws[i:i+n])`
-    over `text.split(" ")` is semantically identical to both engines'
-    split/array_to_string, so string equality — the only thing the
-    aggregation needs — is exact."""
+    """Arrow-vectorized gram extraction per document: array<string> of
+    the word n-grams in position order (the gram's POSITION is its array
+    index — consumers recover it with posexplode, so the kernel ships no
+    per-gram structs). The gram construction deliberately does NOT use
+    split+transform+slice HOF lambdas (Catalyst runs them interpreted
+    per element — the measured trap) nor a lead()-window over exploded
+    words (that shape shuffles the exploded corpus by doc_id before any
+    aggregation). A batch UDF emits the grams with zero pre-shuffle; the
+    only exchange in the operator is the groupBy(gram) count itself.
+
+    Each gram is cut as ONE substring of the original text rather than
+    `" ".join(ws[i:i+n])` (r6: the join built every gram from n Python
+    string pieces — ~n× the allocation): split(" ") leaves exactly one
+    space between consecutive words, so the text slice from word i's
+    first character to word i+n-1's last character IS the join,
+    character-identical to both engines' split/array_to_string."""
+    from itertools import accumulate
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<struct<pos: long, gram: string>>")
+    @pandas_udf("array<string>")
     def grams(texts):
         out = []
         for t in texts.tolist():
@@ -951,15 +959,27 @@ def _gram_spans_udf(n: int):
                 out.append(None)
                 continue
             ws = t.split(" ")
+            if len(ws) < n:
+                out.append([])
+                continue
+            # off[k] = start offset of word k; off[len(ws)] = len(t)+1
+            off = list(accumulate((len(w) + 1 for w in ws), initial=0))
             out.append(
-                [
-                    {"pos": i, "gram": " ".join(ws[i : i + n])}
-                    for i in range(len(ws) - n + 1)
-                ]
+                [t[off[i] : off[i + n] - 1] for i in range(len(ws) - n + 1)]
             )
         return pd.Series(out)
 
     return grams
+
+
+def _gram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, gram) for every contiguous word n-gram — the shared
+    consumer of :func:`_gram_spans_udf` (position = array index via
+    posexplode; NULL-text docs vanish with their NULL array)."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(_gram_spans_udf(n)("text")).alias("pos", "gram"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
 
 
 def duplicated_ngram_spans(
@@ -985,16 +1005,7 @@ def duplicated_ngram_spans(
     # track-persisted or the Arrow gram extraction would run over the
     # corpus once per reference — the same double-evaluation trap the
     # minhash/simhash/LSH operators close with track()
-    grams = track(
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode(_gram_spans_udf(n)("text")).alias("g"),
-        ).select(
-            "doc_id",
-            F.col("g.pos").alias("pos"),
-            F.col("g.gram").alias("gram"),
-        )
-    )
+    grams = track(_gram_rows(docs, n))
     counts = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("cnt"))
@@ -1188,14 +1199,11 @@ def duplicated_ngram_spans_hashed(
     ArrowEval(re-derive strings) -> explode. The string column exists
     only inside the first Python stage and the final output stage."""
     hashed = track(
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode(_gram_spans_udf(n)("text")).alias("g"),
-        ).select(
+        _gram_rows(docs, n).select(
             "doc_id",
-            F.col("g.pos").alias("pos"),
+            "pos",
             # the 8-byte key that rides the corpus-wide exchange
-            F.xxhash64(F.col("g.gram")).alias("h"),
+            F.xxhash64(F.col("gram")).alias("h"),
         )
     )
     counts = (
@@ -1566,12 +1574,19 @@ def reflow_lines(docs: DataFrame, words_per_line: int = 12) -> DataFrame:
     removals. NULL text stays NULL; '' stays ''. The DuckDB oracle
     builds the identical view (LINE_DEDUP_REFLOW_SQL's rdocs CTE)."""
     w = int(words_per_line)
-    lines = F.expr(
-        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0)"
-        f" as int) - 1),"
-        f" i -> array_join(slice(split(text, ' '), i * {w} + 1, {w}), ' '))"
+    # split once in an inner projection: referencing `ws` from the
+    # transform lambda keeps CollapseProject from re-inlining the
+    # split per line element (r6: the inlined form re-split the full
+    # text for EVERY line — measured 2.5x slower on this view)
+    inner = docs.select(
+        F.col("doc_id"), F.split("text", " ").alias("ws")
     )
-    return docs.select(
+    lines = F.expr(
+        f"transform(sequence(0, cast(ceil(size(ws) / {w}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
+    )
+    return inner.select(
         F.col("doc_id"), F.array_join(lines, "\n").alias("text")
     )
 
@@ -1636,26 +1651,24 @@ def line_dedup(docs: DataFrame) -> DataFrame:
     cleaned='' when every line was removed.
 
     Scale shape: one explode pass; the first-occurrence table is a hash
-    aggregate keyed on the trimmed line (map-side partial min), and the
-    occurrence side joins it back on the same key — the aggregate's
-    output is already hash-partitioned on the key, so the join adds one
-    exchange of the occurrences only. Blank lines never enter the join
-    (the '' key would be the corpus's hottest bucket — classic skew);
-    they bypass via union. The 10^12-doc exchange is
+    aggregate keyed on the trimmed line whose min-struct CARRIES the
+    surviving row (doc_id, pos, line) — struct comparison never reaches
+    the line field because (doc_id, pos) is unique — so the kept rows
+    fall straight out of the aggregate and the old occurrences-side
+    join-back (one full extra exchange of every occurrence) is gone
+    (r6); map-side partial min ships at most one representative line
+    per (partition, key). Blank lines never enter the aggregate (the ''
+    key would be the corpus's hottest bucket — classic skew); they
+    bypass via union. The 10^12-doc exchange is
     :func:`line_dedup_hashed` — same output through a 128-bit hashed
     line key. Reference analog: the dedup intent of doc2md_utils.py's
     re-index skip, at line granularity."""
     base, blanks, nonblank = _exploded_lines(docs)
     first = nonblank.groupBy("k").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f")
+        F.min(F.struct("doc_id", "pos", "line")).alias("f")
     )
     kept = blanks.unionByName(
-        nonblank.join(first, "k")
-        .filter(
-            (F.col("doc_id") == F.col("f.doc_id"))
-            & (F.col("pos") == F.col("f.pos"))
-        )
-        .select("doc_id", "pos", "line")
+        first.select("f.doc_id", "f.pos", "f.line")
     )
     return _reassemble_lines(base, kept)
 
@@ -1748,30 +1761,31 @@ def line_dedup_hashed(docs: DataFrame) -> DataFrame:
     output (gate-checked against the same oracle). The first-occurrence
     aggregate groups on a 128-bit line key (two independently-seeded
     xxhash64 values) instead of the line string, so the corpus-wide
-    exchange ships 16 bytes + (doc_id, pos) per map-side-combined
-    distinct line rather than the full line text, and the occurrence
-    side joins back on the same pair of longs. A key collision would
-    need two distinct lines agreeing on BOTH hashes: by the birthday
-    bound that is ~d^2/2^129 for d distinct lines — ~1e-14 even at
-    10^12 lines (a single xxhash64 would NOT survive that scale:
-    10^24/2^65 >> 1). Line strings never leave their occurrence rows;
-    the per-doc reassembly is the same ordered aggregation."""
+    exchange groups and combines on 16 bytes of hash instead of the
+    full line text — the line string is never COMPARED during the
+    corpus-wide aggregation, and only one representative line per
+    (partition, key) rides the exchange inside the min-struct (the
+    same join-back elimination as :func:`line_dedup`: the r5 shape
+    re-shipped EVERY occurrence row through a second exchange to probe
+    the first-occurrence table). A key collision would need two
+    distinct lines agreeing on BOTH hashes: by the birthday bound that
+    is ~d^2/2^129 for d distinct lines — ~1e-14 even at 10^12 lines (a
+    single xxhash64 would NOT survive that scale: 10^24/2^65 >> 1).
+    The per-doc reassembly is the same ordered aggregation."""
     base, blanks, nonblank = _exploded_lines(docs)
-    nonblank = (
-        nonblank.withColumn("h1", F.xxhash64(F.col("k")))
-        .withColumn("h2", F.xxhash64(F.lit(1), F.col("k")))
-        .drop("k")
-    )
-    first = nonblank.groupBy("h1", "h2").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f")
+    first = (
+        nonblank.select(
+            "doc_id",
+            "pos",
+            "line",
+            F.xxhash64(F.col("k")).alias("h1"),
+            F.xxhash64(F.lit(1), F.col("k")).alias("h2"),
+        )
+        .groupBy("h1", "h2")
+        .agg(F.min(F.struct("doc_id", "pos", "line")).alias("f"))
     )
     kept = blanks.unionByName(
-        nonblank.join(first, ["h1", "h2"])
-        .filter(
-            (F.col("doc_id") == F.col("f.doc_id"))
-            & (F.col("pos") == F.col("f.pos"))
-        )
-        .select("doc_id", "pos", "line")
+        first.select("f.doc_id", "f.pos", "f.line")
     )
     return _reassemble_lines(base, kept)
 
