@@ -27,6 +27,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1370,7 +1372,45 @@ SELECT doc_id, CAST(64 AS BIGINT) AS bits, simhash64 AS fp FROM fp64
 # ---------------------------------------------------------------------------
 
 
-def dedup_clusters(docs: DataFrame, max_iters: int = 25) -> DataFrame:
+# Driver-side union-find arm budget for dedup_clusters: when the LSH
+# near-dup PAIR list (ids only, 16 bytes/row) fits this many rows, the
+# component labels are computed in-process and broadcast back — the
+# same size-gated hybrid as bpe_learn's dictionary arm. Near-dup pair
+# lists are far smaller than the corpus (they only contain actual
+# near-duplicates); above the budget the iterative min-label loop below
+# remains the honest distributed shape.
+DEDUP_CC_PAIR_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_CC_PAIR_BUDGET", "5000000")
+)
+
+
+def _cc_label_map(pairs: list) -> list:
+    """Union-find over (id_a, id_b) pairs; returns (id, label) for every
+    id that appears in a pair, label = min id of its component."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(x, find(x)) for x in parent]
+
+
+def dedup_clusters(
+    docs: DataFrame, max_iters: int = 25, pair_budget: int | None = None
+) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph +
     keeper selection — the DECISION step a cleaning pipeline runs after
     pair generation: group mutually-near-duplicate documents into
@@ -1378,7 +1418,16 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 25) -> DataFrame:
     the rest. Returns (doc_id, cluster_id, is_keeper) for EVERY corpus
     doc (singletons are their own keeper).
 
-    Spark shape: iterative min-label propagation (the Pregel shape).
+    Execution is a size-gated hybrid (r6, the bpe_learn pattern): when
+    the ids-only pair list fits ``DEDUP_CC_PAIR_BUDGET`` rows it is
+    collected once, union-find labels the components in-process, and a
+    single broadcast left-join labels the corpus — zero iterations.
+    Above the budget the distributed loop below runs unchanged
+    (``pair_budget=0`` forces it; the arms are pinned equal in
+    tests/test_dedup.py).
+
+    Spark shape (above the budget): iterative min-label propagation
+    (the Pregel shape).
     Every node starts labeled with its own id; each iteration joins the
     label table to the bidirectional edge list, takes each node's min
     neighbor label, and keeps least(own, neighbor-min). The fixpoint —
@@ -1408,6 +1457,30 @@ def dedup_clusters(docs: DataFrame, max_iters: int = 25) -> DataFrame:
     nodes = _variant_corpus(docs).select(
         F.col("doc_id").cast("long").alias("id")
     )
+    # Size-gated driver arm (the bpe_learn dictionary-arm pattern):
+    # near-dup pair lists are ids-only and tiny relative to the corpus.
+    # When the pair count fits the budget, union-find runs in-process
+    # and ONE broadcast left-join labels the corpus — no iteration at
+    # all (the count rides the pair table's persist, which the
+    # distributed loop would have materialized anyway). Output is
+    # identical: label = min id per component, singletons label
+    # themselves via the coalesce.
+    budget = DEDUP_CC_PAIR_BUDGET if pair_budget is None else pair_budget
+    if pairs.count() <= budget:
+        lm = _cc_label_map(
+            [(r[0], r[1]) for r in pairs.collect()]
+        )
+        spark = docs.sparkSession
+        lm_df = spark.createDataFrame(
+            sorted(lm), "id long, label long"
+        )
+        return nodes.join(F.broadcast(lm_df), "id", "left").select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("label", F.col("id")).alias("cluster_id"),
+            (F.col("id") == F.coalesce("label", F.col("id")))
+            .cast("long")
+            .alias("is_keeper"),
+        )
     # Self-loops folded into the edge list make each round ONE
     # equality join + ONE aggregate: min over (self ∪ neighbors) labels
     # IS least(own, neighbor-min), so the r5 form's second (left) join

@@ -112,7 +112,70 @@ def _pairs(qv: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def label_noise(emb: DataFrame) -> DataFrame:
+def _noise_kernel_udf(cl, C, cn, n2c):
+    """Arrow numpy kernel for the per-vector noise scores: every batch
+    row meets the DRIVER-COLLECTED centroid matrix (L x d integer sums
+    — bounded by the label vocabulary, the PQ-codebook/IVF precedent),
+    so the n*L pass is one int64 matmul instead of the broadcast cross
+    join's interpreted aggregate(zip_with(...)) fold per pair (r6: the
+    measured PQ-class defect). Arithmetic is the SPEC's exactly: integer
+    dots, then the single IEEE sequence divide -> *10000 -> floor on
+    float64 (numpy and the JVM both use correctly-rounded IEEE doubles),
+    with the same zero-norm and singleton-label guards. Returns
+    (own_ci, rk) per vector; rk is NULL when no rival label exists."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    L = len(cl)
+
+    @pandas_udf("struct<own_ci: bigint, rk: bigint>")
+    def score(labels, qs):
+        n = len(labels)
+        if n == 0:
+            return pd.DataFrame({"own_ci": [], "rk": []})
+        X = np.stack([np.asarray(q, dtype=np.int64) for q in qs])
+        lab = labels.to_numpy(dtype=np.int64)
+        n2x = np.einsum("ij,ij->i", X, X)
+        dots = X @ C.T  # (n, L) exact int64
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = (
+                np.sqrt(n2x.astype(np.float64))[:, None]
+                * np.sqrt(n2c.astype(np.float64))[None, :]
+            )
+            riv = np.floor(dots.astype(np.float64) / denom * 10000.0)
+        bad = (n2x[:, None] <= 0) | (n2c[None, :] <= 0)
+        riv_ci = np.where(bad, 0.0, riv).astype(np.int64)
+        key = (riv_ci + 20000) * _KEY_SHIFT + (
+            _KEY_SHIFT - 1 - cl[None, :]
+        )
+        own_mask = lab[:, None] == cl[None, :]
+        rk = np.where(own_mask, np.iinfo(np.int64).min, key).max(axis=1)
+        has_rival = (~own_mask).any(axis=1)
+        own_idx = own_mask.argmax(axis=1)
+        dot_o = dots[np.arange(n), own_idx]
+        n2b = n2c[own_idx] - 2 * dot_o + n2x
+        with np.errstate(divide="ignore", invalid="ignore"):
+            own = np.floor(
+                (dot_o - n2x).astype(np.float64)
+                / (
+                    np.sqrt(n2x.astype(np.float64))
+                    * np.sqrt(n2b.astype(np.float64))
+                )
+                * 10000.0
+            )
+        own_ci = np.where((n2x <= 0) | (n2b <= 0), 0.0, own).astype(
+            np.int64
+        )
+        own_ci = np.where(cn[own_idx] <= 1, 0, own_ci)
+        rk_s = pd.Series(rk, dtype="Int64")
+        rk_s[~has_rival] = pd.NA
+        return pd.DataFrame({"own_ci": own_ci, "rk": rk_s})
+
+    return score
+
+
+def label_noise(emb: DataFrame, use_kernel: bool = True) -> DataFrame:
     """Per-vector leave-one-out mislabel detection: own_cos = cosine to
     the OWN label's centroid with self removed (exact via the integer
     LOO identities; 0.0 for singleton labels), rival = the best OTHER
@@ -120,10 +183,73 @@ def label_noise(emb: DataFrame) -> DataFrame:
     1e-4 units, flagged = margin < 0. Output one row per vector so the
     gate asserts both keep classes.
 
-    Plan: one centroid aggregate + one broadcast cross join + one
-    map-side-combinable per-vector hash aggregate — no window, no n^2.
+    Execution (r6): the centroid relation is bounded by the label
+    vocabulary, so it is collected once and the n*L scoring pass runs
+    as one Arrow numpy kernel over the broadcast matrix — zero joins,
+    zero aggregates after the centroid pass (the interpreted
+    aggregate(zip_with) fold per broadcast-pair was the PQ-class
+    measured defect). ``use_kernel=False`` keeps the relational
+    broadcast-cross-join form as the equality-pinned spec twin
+    (tests/test_labels.py::test_label_noise_kernel_equals_relational).
+
+    Relational plan (spec twin): one centroid aggregate + one broadcast
+    cross join + one map-side-combinable per-vector hash aggregate — no
+    window, no n^2.
     """
     qv = _quantized(emb)
+    if use_kernel:
+        import numpy as np
+
+        rows = _centroids(qv).collect()
+        if rows:
+            cl = np.array([r["label"] for r in rows], dtype=np.int64)
+            C = np.stack(
+                [np.asarray(r["c"], dtype=np.int64) for r in rows]
+            )
+            cn = np.array([r["n"] for r in rows], dtype=np.int64)
+            n2c = np.array([r["n2c"] for r in rows], dtype=np.int64)
+            score = _noise_kernel_udf(cl, C, cn, n2c)
+            per = qv.select(
+                "vec_id",
+                "label",
+                score(F.col("label"), F.col("q")).alias("o"),
+            ).select(
+                "vec_id",
+                "label",
+                F.col("o.own_ci").alias("own_ci"),
+                F.col("o.rk").alias("rk"),
+            )
+        else:  # empty corpus: no centroids, no rows — schema only
+            per = qv.select(
+                "vec_id",
+                "label",
+                F.lit(None).cast("bigint").alias("own_ci"),
+                F.lit(None).cast("bigint").alias("rk"),
+            )
+        return per.select(
+            "vec_id",
+            "label",
+            (F.col("own_ci") / 10000.0).alias("own_cos"),
+            (F.lit(_KEY_SHIFT - 1) - F.col("rk") % F.lit(_KEY_SHIFT)).alias(
+                "rival_label"
+            ),
+            (
+                (F.floor(F.col("rk") / F.lit(_KEY_SHIFT)) - 20000) / 10000.0
+            ).alias("rival_cos"),
+            (
+                (
+                    F.col("own_ci")
+                    - (F.floor(F.col("rk") / F.lit(_KEY_SHIFT)) - 20000)
+                )
+                / 10000.0
+            ).alias("margin"),
+            (
+                F.col("own_ci")
+                < (F.floor(F.col("rk") / F.lit(_KEY_SHIFT)) - 20000)
+            )
+            .cast("long")
+            .alias("flagged"),
+        )
     p = _pairs(qv, _centroids(qv))
     own_ci = F.expr(
         "CASE WHEN cn <= 1 THEN CAST(0 AS BIGINT) ELSE "

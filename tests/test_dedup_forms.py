@@ -240,6 +240,24 @@ def test_dedup_clusters_chain_needs_propagation(spark):
     assert [(d, k) for d, c, k in got if k == 1] == [(0, 1)]
 
 
+def test_dedup_clusters_driver_arm_equals_distributed(spark):
+    """The size-gated driver union-find arm and the iterative
+    min-label-propagation loop must produce identical labelings
+    (pair_budget=0 forces the distributed loop; the default takes the
+    driver arm at test scale)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fast = sorted(
+        tuple(r) for r in dedup.dedup_clusters(docs).collect()
+    )
+    slow = sorted(
+        tuple(r)
+        for r in dedup.dedup_clusters(docs, pair_budget=0).collect()
+    )
+    assert fast == slow and len(fast) > 0
+    # non-trivial: at least one multi-member cluster exists
+    assert any(k == 0 for _, _, k in fast)
+
+
 def test_dedup_cut_removes_merged_ranges(spark):
     """Cutting uses the gap-merged ranges: doc 1's whole text lies in
     the single merged interval [0,9] (cleaned -> ''), doc 2 keeps only

@@ -80,11 +80,34 @@ def test_label_noise_corpus_invariants(spark):
         assert -1.0001 <= r["rival_cos"] <= 1.0
 
 
+def test_label_noise_kernel_equals_relational(spark):
+    """The Arrow broadcast-centroid kernel and the relational
+    broadcast-cross-join spec twin must agree row-for-row, on the hand
+    frame and the gate corpus."""
+    for df in (_tiny(spark), spark.read.parquet(f"{SF}/embeddings.parquet")):
+        fast = sorted(tuple(r) for r in L.label_noise(df).collect())
+        spec = sorted(
+            tuple(r) for r in L.label_noise(df, use_kernel=False).collect()
+        )
+        assert fast == spec and len(fast) > 0
+
+
 def test_label_plan_shape(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    for df in (L.label_noise(emb), L.label_centroids(emb)):
+    for df in (L.label_noise(emb, use_kernel=False), L.label_centroids(emb)):
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in p  # argmax is an integer-key MAX
         assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
         assert "HashAggregate" in p  # map-side combinable aggregates
         assert "CartesianProduct" not in p  # n*L only ever via broadcast
+    # kernel form: the scoring pass is one Arrow projection — no join,
+    # no window, no per-pair expression fold
+    pk = (
+        L.label_noise(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in pk
+    for bad in ("Window", "Join", "CartesianProduct"):
+        assert bad not in pk
