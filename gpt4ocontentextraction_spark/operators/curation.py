@@ -789,16 +789,18 @@ def dsir_weights(
     polyhash (no vocabulary explosion — the paper's trick), so both LMs
     are n_buckets-row aggregates broadcast back over the token stream;
     per-doc sums use the decimal(38,20) order-independence device."""
-    from ..functions.hashing import spark_polyhash_over_array
+    from .dedup import word_buckets_udf
 
-    harr = spark_polyhash_over_array("split(text, ' ')")
     base = _docs_base(docs)
+    # Arrow word-bucket kernel (r6): the expression form ran the
+    # per-char polyhash fold interpreted per word — and the token
+    # stream is evaluated twice (LM aggregate + per-doc join probe), so
+    # the cheap vectorized re-compute beats persisting a corpus-scale
+    # token stream (the expression twin remains the DuckDB oracle)
     toks = base.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.expr(f"transform({harr}, h -> h % {n_buckets})")
-        ).alias("b"),
+        F.explode(word_buckets_udf(n_buckets)("text")).alias("b"),
     )
     # ONE conditional aggregate builds both LMs (a raw groupBy + a
     # target groupBy + left join would evaluate the per-token polyhash
@@ -1426,15 +1428,14 @@ def quality_classifier(docs: DataFrame, n_buckets: int = QCLF_BUCKETS) -> DataFr
     weights relation + one per-doc groupBy (map-side combinable integer
     sum) — the same exchange profile as dsir_weights; the model never
     shuffles."""
-    from ..functions.hashing import spark_polyhash_over_array
+    from .dedup import word_buckets_udf
 
-    harr = spark_polyhash_over_array("split(text, ' ')")
     base = _docs_base(docs).filter(F.col("text").isNotNull())
+    # Arrow word-bucket kernel (r6) — see dsir_weights; oracle twin
+    # keeps the interpreted char-fold expression
     toks = base.select(
         "doc_id",
-        F.explode(
-            F.expr(f"transform({harr}, h -> h % {n_buckets})")
-        ).alias("b"),
+        F.explode(word_buckets_udf(n_buckets)("text")).alias("b"),
     )
     weights = (
         docs.sparkSession.range(n_buckets)

@@ -449,6 +449,41 @@ def _np_polyhash(uniques, mult: int):
     return ph
 
 
+def word_buckets_udf(n_buckets: int):
+    """Arrow kernel: text -> array<long> of per-word polyhash buckets
+    (``polyhash31(word) % n_buckets`` in word order) — the numpy twin of
+    ``transform(spark_polyhash_over_array(split(text, ' ')), h -> h % n)``
+    for the hashed-unigram consumers (dsir_weights, quality_classifier),
+    whose token streams otherwise run the char fold interpreted per
+    word. NULL text -> NULL array (explode drops it, exactly as the
+    expression form's NULL propagation does)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def word_buckets(texts):
+        tl = texts.tolist()
+        out = [None] * len(tl)
+        valid = [i for i, t in enumerate(tl) if t is not None and t == t]
+        if valid:
+            words_per_doc = [tl[i].split(" ") for i in valid]
+            wc = np.array(
+                [len(ws) for ws in words_per_doc], dtype=np.int64
+            )
+            flat = [w for ws in words_per_doc for w in ws]
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            bh = (
+                _np_polyhash(np.asarray(uniques, dtype=object), 31)
+                % n_buckets
+            )[codes]
+            for i, arr in zip(valid, np.split(bh, np.cumsum(wc)[:-1])):
+                out[i] = arr
+        return pd.Series(out)
+
+    return word_buckets
+
+
 def _simhash_kernel_udf(width: int):
     """Arrow-batched SimHash kernel (32- or 64-bit): per-batch word
     split + factorized polyhash (the proven _shingle_core machinery) +

@@ -299,7 +299,9 @@ def test_quality_classifier_plan_broadcast_model(spark):
     )
     # the model joins broadcast; the token stream never shuffles by bucket
     assert "BroadcastHashJoin" in plan
-    assert "EvalPython" not in plan
+    # r6: bucket ids come from the Arrow word-bucket kernel — vectorized
+    # (ArrowEvalPython), never row-at-a-time Python
+    assert "BatchEvalPython" not in plan
 
 
 # ---------------------------------------------------------------------------
