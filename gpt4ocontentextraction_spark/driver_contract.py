@@ -1179,12 +1179,13 @@ def q_c4_filters(spark, sf_dir):
     with per-rule violation counters — over the reflowed corpus view
     seeded so every rule demonstrably fires (261 kept / 239 dropped at
     sf0.001; the seed_pii lesson: an unseeded gate would drop 100% of
-    lines on the punctuation rule alone). One JVM higher-order-function
-    projection, zero shuffles (plan pinned in tests/test_c4.py). EXTRA
+    lines on the punctuation rule alone). r6: the three composed views
+    are five interpreted HOF passes per doc; the gate runs the fused
+    Arrow kernel arm — one ArrowEvalPython projection, zero shuffles —
+    with the composed relational chain kept as the equality-pinned spec
+    twin (tests/test_c4.py::test_fused_kernel_equals_composed). EXTRA
     (local-parity) gate, swept by tests/test_oracle_parity.py."""
-    return curation.c4_filters(
-        curation.seed_c4(dedup.reflow_lines(_docs(spark, sf_dir)))
-    )
+    return curation.c4_filters_fused(_docs(spark, sf_dir))
 
 
 @register_extra("curation_pipeline", curation.CURATION_PIPELINE_SQL)

@@ -1324,6 +1324,146 @@ WITH {_reflow_cte('documents')},
 """
 
 
+def _c4_fused_kernel_udf(words_per_line: int):
+    """Arrow kernel for the fused reflow -> seed_c4 -> c4_filters gate
+    chain. The three stages are replicated at their STRING boundaries
+    (each stage re-splits on '\\n' exactly as the composed views do, so
+    embedded newlines cannot diverge), and every rule uses the JVM
+    expression's exact semantics: ``trim`` strips spaces only
+    (str.strip(' ')), ``split`` keeps trailing empties (Python's
+    str.split does), ``right(t, 1)`` of '' is '' (t[-1:]), ``%`` on the
+    non-negative doc_id matches Python's. The chain is otherwise five
+    interpreted higher-order-function passes over the line array per
+    document (transform + filter x4 — Spark does not codegen HOFs, the
+    measured pq/label_noise defect class); the whole corpus fits one
+    53 ms numpy-free pass at sf0.1."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = int(words_per_line)
+    terminals = set(C4_TERMINALS)
+    min_words = C4_MIN_WORDS
+    min_kept = C4_MIN_KEPT_LINES
+
+    @pandas_udf(
+        "struct<cleaned: string, n_lines: bigint, n_kept: bigint,"
+        " n_nopunct: bigint, n_short: bigint, n_js: bigint, keep: bigint>"
+    )
+    def fused(doc_ids, texts):
+        out_cleaned, out_nl, out_nk = [], [], []
+        out_np, out_ns, out_nj, out_keep = [], [], [], []
+        for doc_id, text in zip(doc_ids, texts):
+            doc_id = int(doc_id)
+            # reflow_lines(w): wrap space-separated words into w-word
+            # lines (split('') is [''] -> one empty line, as in the JVM)
+            ws = text.split(" ")
+            n_wrapped = -(-len(ws) // w)
+            rtext = "\n".join(
+                " ".join(ws[i * w : i * w + w]) for i in range(n_wrapped)
+            )
+            # seed_c4: per-line CASE on h = (doc_id*31 + i*7) % 10
+            # (0-based transform index), then the doc-level poison line
+            seeded = []
+            for i, l in enumerate(rtext.split("\n")):
+                h = (doc_id * 31 + i * 7) % 10
+                if h < 6:
+                    seeded.append(l + ".")
+                elif h == 6:
+                    seeded.append(l + " requires javascript.")
+                else:
+                    seeded.append(l)
+            stext = "\n".join(seeded)
+            if doc_id % 37 == 0:
+                stext += "\nlorem ipsum dolor sit amet."
+            elif doc_id % 41 == 3:
+                stext += "\nvar f = function() { return 0; }"
+            # c4_filters: line rules + document rules + counters
+            ls = stext.split("\n")
+            kept = []
+            n_nopunct = n_short = n_js = 0
+            for l in ls:
+                t = l.strip(" ")
+                punct = t[-1:] in terminals
+                long_enough = len(t.split(" ")) >= min_words
+                js = "javascript" in l.lower()
+                if not punct:
+                    n_nopunct += 1
+                if not long_enough:
+                    n_short += 1
+                if js:
+                    n_js += 1
+                if punct and long_enough and not js:
+                    kept.append(l)
+            keep = int(
+                len(kept) >= min_kept
+                and "lorem ipsum" not in stext.lower()
+                and "{" not in stext
+            )
+            out_cleaned.append("\n".join(kept) if keep else "")
+            out_nl.append(len(ls))
+            out_nk.append(len(kept))
+            out_np.append(n_nopunct)
+            out_ns.append(n_short)
+            out_nj.append(n_js)
+            out_keep.append(keep)
+        return pd.DataFrame(
+            {
+                "cleaned": out_cleaned,
+                "n_lines": out_nl,
+                "n_kept": out_nk,
+                "n_nopunct": out_np,
+                "n_short": out_ns,
+                "n_js": out_nj,
+                "keep": out_keep,
+            }
+        )
+
+    return fused
+
+
+def c4_filters_fused(
+    docs: DataFrame,
+    words_per_line: int = 12,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """The gate query's fused form of
+    ``c4_filters(seed_c4(reflow_lines(docs)))`` over raw
+    ``(doc_id, text)``.
+
+    Execution (r6): the three composed views evaluate five interpreted
+    higher-order-function passes per document (reflow's transform,
+    seed's transform, c4's filter x4 — Spark does not whole-stage-
+    codegen HOFs; the pq_adc/label_noise defect class), ~0.7-1.1 s of
+    the query's ~1.0-1.3 s at sf0.1 while the same work is a 53 ms
+    single Python pass. ``use_kernel=True`` runs the whole chain in one
+    ArrowEvalPython projection — zero shuffles, identical rows
+    (tests/test_c4.py::test_fused_kernel_equals_composed pins equality
+    on the gate corpus and the rule-isolation hand frames);
+    ``use_kernel=False`` keeps the composed relational chain as the
+    spec twin the oracle SQL mirrors CTE-for-CTE."""
+    if not use_kernel:
+        from .dedup import reflow_lines
+
+        return c4_filters(seed_c4(reflow_lines(docs, words_per_line)))
+    base = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .filter(F.col("text").isNotNull())
+    )
+    o = _c4_fused_kernel_udf(words_per_line)(
+        F.col("doc_id"), F.col("text")
+    ).alias("o")
+    return base.select("doc_id", o).select(
+        "doc_id",
+        "o.cleaned",
+        "o.n_lines",
+        "o.n_kept",
+        "o.n_nopunct",
+        "o.n_short",
+        "o.n_js",
+        "o.keep",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 10. Corpus-wide top-k frequent n-grams (corpus statistics)
 # ---------------------------------------------------------------------------

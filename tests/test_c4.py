@@ -112,3 +112,57 @@ def test_plan_zero_exchange(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_fused_kernel_equals_composed(spark):
+    """The gate's fused Arrow kernel arm must be row-identical to the
+    composed relational chain it replaces — on the seeded sf0.001 gate
+    corpus AND on hand frames hitting every rule edge (empty text,
+    embedded newline inside a raw word, poison-doc ids)."""
+    from gpt4ocontentextraction_spark.operators import dedup
+
+    def both(docs):
+        a = sorted(
+            map(tuple, curation.c4_filters_fused(docs).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                curation.c4_filters_fused(
+                    docs, use_kernel=False
+                ).collect(),
+            )
+        )
+        return a, b
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a, b = both(docs)
+    assert a == b and len(a) > 0
+
+    hand = spark.createDataFrame(
+        [
+            (0, ""),  # empty text; also the %37 poison id
+            (3, None),  # dropped
+            (44, "word with\nnewline inside plus more words here"),
+            (85, "x " * 40),  # %41==3 poison id, trailing-space words
+            (7, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    a, b = both(hand)
+    assert a == b and len(a) == 4
+
+
+def test_fused_plan_zero_exchange(spark):
+    """The fused arm stays shuffle-free: one ArrowEvalPython
+    projection, no Exchange, no joins."""
+    docs = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = (
+        curation.c4_filters_fused(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan
